@@ -1,0 +1,164 @@
+"""NHWC convolution / pooling primitives with torch-compatible geometry.
+
+These are thin functional wrappers over ``lax.conv_general_dilated`` /
+``lax.reduce_window`` used by the flax modules in ``dsgan_tpu.models``.
+They exist so that (a) every layer in the framework shares one audited
+implementation of the geometry rules (padding, output_padding, pooling
+edge handling) that the reference's recipes depend on, and (b) imported
+PyTorch checkpoints evaluate identically.
+
+Weight layout is HWIO (`[kh, kw, in_ch/groups, out_ch]`), the XLA-native
+filter layout. ``dsgan_tpu.utils.pth_convert`` maps torch's OIHW onto it.
+
+Reference geometry being matched (behavior, not code):
+  * Conv2d(k, s, p): cross-correlation, zero padding p.
+  * ConvTranspose2d(k, s, p, op): the gradient-of-conv operator, i.e.
+    input dilation by s, kernel spatially flipped with in/out swapped,
+    effective padding (k-1-p, k-1-p+op)  (used at e.g. reference
+    DSGAN/models/model/MixConvNeXtML.py:53 with k=3,s=2,p=1,op=1).
+  * MaxPool2d(2) window 2 stride 2 (MixConvNeXtML.py:71).
+  * AvgPool2d(3, stride=2, padding=1, count_include_pad=False)
+    (networks.py:675 MultiscaleDiscriminator pyramid).
+  * AvgPool2d(2, padding=s%2) with count_include_pad=True (MS_SSIM.py:215).
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+_DIMNUMS = ("NHWC", "HWIO", "NHWC")
+
+
+def conv2d(x, w, b=None, *, stride=1, padding=0, groups=1, dilation=1):
+    """torch-style Conv2d on NHWC input, HWIO weight."""
+    if isinstance(stride, int):
+        stride = (stride, stride)
+    padding = _norm_pad(padding)
+    if isinstance(dilation, int):
+        dilation = (dilation, dilation)
+    y = lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=stride,
+        padding=padding,
+        rhs_dilation=dilation,
+        dimension_numbers=_DIMNUMS,
+        feature_group_count=groups,
+        preferred_element_type=jnp.float32,
+    )
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    return y.astype(x.dtype)
+
+
+def conv_transpose2d(x, w, b=None, *, stride=2, padding=0, output_padding=0):
+    """torch-style ConvTranspose2d on NHWC input.
+
+    ``w`` is HWIO with I = input channels of `x` and O = output channels
+    (i.e. already in the forward-of-this-op orientation; the pth converter
+    handles torch's [in, out, kh, kw] layout and performs NO flip — the
+    spatial flip happens here, matching the transpose-conv definition).
+    """
+    if isinstance(stride, int):
+        stride = (stride, stride)
+    if isinstance(padding, int):
+        padding = (padding, padding)
+    if isinstance(output_padding, int):
+        output_padding = (output_padding, output_padding)
+    kh, kw = w.shape[0], w.shape[1]
+    pads = (
+        (kh - 1 - padding[0], kh - 1 - padding[0] + output_padding[0]),
+        (kw - 1 - padding[1], kw - 1 - padding[1] + output_padding[1]),
+    )
+    y = lax.conv_general_dilated(
+        x,
+        jnp.flip(w, (0, 1)),
+        window_strides=(1, 1),
+        padding=pads,
+        lhs_dilation=stride,
+        dimension_numbers=_DIMNUMS,
+        preferred_element_type=jnp.float32,
+    )
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    return y.astype(x.dtype)
+
+
+def _norm_pad(padding):
+    """Normalize int / (ph, pw) / ((t,b),(l,r)) paddings to pair-of-pairs."""
+    if isinstance(padding, int):
+        return ((padding, padding), (padding, padding))
+    if len(padding) == 2 and all(isinstance(p, int) for p in padding):
+        return ((padding[0], padding[0]), (padding[1], padding[1]))
+    return tuple(tuple(p) for p in padding)
+
+
+def max_pool2d(x, window=2, stride=None, padding=0):
+    """torch-style MaxPool2d on NHWC."""
+    if stride is None:
+        stride = window
+    if isinstance(window, int):
+        window = (window, window)
+    if isinstance(stride, int):
+        stride = (stride, stride)
+    padding = _norm_pad(padding)
+    init = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    return lax.reduce_window(
+        x,
+        jnp.asarray(init, x.dtype),
+        lax.max,
+        window_dimensions=(1, *window, 1),
+        window_strides=(1, *stride, 1),
+        padding=((0, 0), *padding, (0, 0)),
+    )
+
+
+def avg_pool2d(x, window, stride=None, padding=0, count_include_pad=True):
+    """torch-style AvgPool2d on NHWC (both count_include_pad modes)."""
+    if stride is None:
+        stride = window
+    if isinstance(window, int):
+        window = (window, window)
+    if isinstance(stride, int):
+        stride = (stride, stride)
+    padding = _norm_pad(padding)
+    dims = (1, *window, 1)
+    strides = (1, *stride, 1)
+    pads = ((0, 0), *padding, (0, 0))
+    summed = lax.reduce_window(x, jnp.asarray(0.0, x.dtype), lax.add, dims, strides, pads)
+    if count_include_pad:
+        count = window[0] * window[1]
+        return summed / count
+    ones = jnp.ones((1, x.shape[1], x.shape[2], 1), x.dtype)
+    count = lax.reduce_window(ones, jnp.asarray(0.0, x.dtype), lax.add, dims, strides, pads)
+    return summed / count
+
+
+def reflect_pad2d(x, pad):
+    """torch-style ReflectionPad2d on NHWC."""
+    if isinstance(pad, int):
+        pad = (pad, pad, pad, pad)  # left, right, top, bottom (torch order)
+    left, right, top, bottom = pad
+    return jnp.pad(x, ((0, 0), (top, bottom), (left, right), (0, 0)), mode="reflect")
+
+
+def adaptive_avg_pool(x):
+    """AdaptiveAvgPool2d(1): global spatial mean, keeps dims (N,1,1,C)."""
+    return jnp.mean(x, axis=(1, 2), keepdims=True)
+
+
+def adaptive_max_pool(x):
+    """AdaptiveMaxPool2d(1): global spatial max, keeps dims (N,1,1,C)."""
+    return jnp.max(x, axis=(1, 2), keepdims=True)
+
+
+def upsample_bilinear(x, size):
+    """torch nn.Upsample(size, mode='bilinear', align_corners=False).
+
+    jax.image.resize with method='linear' uses half-pixel centers, which is
+    exactly torch's align_corners=False convention.
+    """
+    n, _, _, c = x.shape
+    return jax.image.resize(x, (n, size[0], size[1], c), method="linear")

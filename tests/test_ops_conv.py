@@ -1,0 +1,133 @@
+"""Parity tests: dsgan_tpu.ops conv/pool/norm primitives vs torch CPU.
+
+torch is used ONLY as a test oracle (it is never imported by the framework).
+"""
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+import jax.numpy as jnp
+
+from dsgan_tpu import ops
+
+RNG = np.random.default_rng(0)
+
+
+def _nhwc(t):
+    return np.ascontiguousarray(t.detach().numpy().transpose(0, 2, 3, 1))
+
+
+def _to_hwio(w_oihw):
+    # torch conv weight [O, I/g, kh, kw] -> HWIO [kh, kw, I/g, O]
+    return np.ascontiguousarray(w_oihw.detach().numpy().transpose(2, 3, 1, 0))
+
+
+@pytest.mark.parametrize(
+    "cin,cout,k,s,p,groups,dil",
+    [
+        (3, 8, 3, 1, 1, 1, 1),
+        (8, 8, 7, 1, 3, 8, 1),      # depthwise 7x7 (Block)
+        (8, 8, 9, 1, 4, 8, 1),      # depthwise 9x9 (MidMLKA)
+        (6, 4, 4, 2, 1, 1, 1),      # PatchGAN layer
+        (4, 4, 5, 1, 10, 4, 5),     # dilated grouped (MLKA LKA branch)
+        (3, 8, 1, 1, 0, 1, 1),      # pointwise
+    ],
+)
+def test_conv2d_matches_torch(cin, cout, k, s, p, groups, dil):
+    x = RNG.standard_normal((2, 16 + k * dil, 16 + k * dil, cin), dtype=np.float32)
+    xt = torch.from_numpy(np.ascontiguousarray(x.transpose(0, 3, 1, 2)))
+    wt = torch.randn(cout, cin // groups, k, k)
+    bt = torch.randn(cout)
+    ref = F.conv2d(xt, wt, bt, stride=s, padding=p, groups=groups, dilation=dil)
+    got = ops.conv2d(
+        jnp.asarray(x), jnp.asarray(_to_hwio(wt)), jnp.asarray(bt.numpy()),
+        stride=s, padding=p, groups=groups, dilation=dil,
+    )
+    np.testing.assert_allclose(np.asarray(got), _nhwc(ref), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize(
+    "cin,cout,k,s,p,op",
+    [
+        (8, 4, 3, 2, 1, 1),   # MixConvNeXtML upSample
+        (8, 4, 4, 2, 1, 0),   # UNet upconv
+        (4, 6, 3, 2, 1, 1),
+    ],
+)
+def test_conv_transpose2d_matches_torch(cin, cout, k, s, p, op):
+    x = RNG.standard_normal((2, 12, 12, cin), dtype=np.float32)
+    xt = torch.from_numpy(np.ascontiguousarray(x.transpose(0, 3, 1, 2)))
+    wt = torch.randn(cin, cout, k, k)  # torch convT weight [in, out, kh, kw]
+    bt = torch.randn(cout)
+    ref = F.conv_transpose2d(xt, wt, bt, stride=s, padding=p, output_padding=op)
+    # [in, out, kh, kw] -> HWIO [kh, kw, in, out], no flip (op flips internally)
+    w_hwio = np.ascontiguousarray(wt.detach().numpy().transpose(2, 3, 0, 1))
+    got = ops.conv_transpose2d(
+        jnp.asarray(x), jnp.asarray(w_hwio), jnp.asarray(bt.numpy()),
+        stride=s, padding=p, output_padding=op,
+    )
+    assert got.shape == _nhwc(ref).shape
+    np.testing.assert_allclose(np.asarray(got), _nhwc(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_max_pool2d_matches_torch():
+    x = RNG.standard_normal((2, 16, 16, 5), dtype=np.float32)
+    xt = torch.from_numpy(np.ascontiguousarray(x.transpose(0, 3, 1, 2)))
+    ref = F.max_pool2d(xt, 2)
+    got = ops.max_pool2d(jnp.asarray(x), 2)
+    np.testing.assert_allclose(np.asarray(got), _nhwc(ref), rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("cip", [True, False])
+def test_avg_pool2d_matches_torch(cip):
+    x = RNG.standard_normal((2, 15, 15, 4), dtype=np.float32)
+    xt = torch.from_numpy(np.ascontiguousarray(x.transpose(0, 3, 1, 2)))
+    ref = F.avg_pool2d(xt, 3, stride=2, padding=1, count_include_pad=cip)
+    got = ops.avg_pool2d(jnp.asarray(x), 3, stride=2, padding=1, count_include_pad=cip)
+    np.testing.assert_allclose(np.asarray(got), _nhwc(ref), rtol=1e-5, atol=1e-6)
+
+
+def test_avg_pool2d_odd_padding_matches_torch():
+    # the ms_ssim downsample: kernel 2, padding = size % 2
+    x = RNG.standard_normal((1, 11, 11, 3), dtype=np.float32)
+    xt = torch.from_numpy(np.ascontiguousarray(x.transpose(0, 3, 1, 2)))
+    ref = F.avg_pool2d(xt, 2, padding=1)
+    got = ops.avg_pool2d(jnp.asarray(x), 2, padding=(1, 1), count_include_pad=True)
+    np.testing.assert_allclose(np.asarray(got), _nhwc(ref), rtol=1e-5, atol=1e-6)
+
+
+def test_reflect_pad_matches_torch():
+    x = RNG.standard_normal((2, 8, 8, 3), dtype=np.float32)
+    xt = torch.from_numpy(np.ascontiguousarray(x.transpose(0, 3, 1, 2)))
+    ref = F.pad(xt, (3, 3, 3, 3), mode="reflect")
+    got = ops.reflect_pad2d(jnp.asarray(x), 3)
+    np.testing.assert_allclose(np.asarray(got), _nhwc(ref), rtol=1e-6, atol=1e-6)
+
+
+def test_instance_norm_matches_torch():
+    x = RNG.standard_normal((3, 9, 7, 6), dtype=np.float32) * 4 + 1
+    xt = torch.from_numpy(np.ascontiguousarray(x.transpose(0, 3, 1, 2)))
+    ref = F.instance_norm(xt)
+    got = ops.instance_norm(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), _nhwc(ref), rtol=1e-4, atol=1e-5)
+
+
+def test_upsample_bilinear_matches_torch():
+    x = RNG.standard_normal((2, 8, 8, 3), dtype=np.float32)
+    xt = torch.from_numpy(np.ascontiguousarray(x.transpose(0, 3, 1, 2)))
+    ref = F.interpolate(xt, size=(16, 16), mode="bilinear", align_corners=False)
+    got = ops.upsample_bilinear(jnp.asarray(x), (16, 16))
+    np.testing.assert_allclose(np.asarray(got), _nhwc(ref), rtol=1e-4, atol=1e-5)
+
+
+def test_adaptive_pools_match_torch():
+    x = RNG.standard_normal((2, 8, 8, 5), dtype=np.float32)
+    xt = torch.from_numpy(np.ascontiguousarray(x.transpose(0, 3, 1, 2)))
+    np.testing.assert_allclose(
+        np.asarray(ops.adaptive_avg_pool(jnp.asarray(x))),
+        _nhwc(F.adaptive_avg_pool2d(xt, 1)), rtol=1e-5, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ops.adaptive_max_pool(jnp.asarray(x))),
+        _nhwc(F.adaptive_max_pool2d(xt, 1)), rtol=1e-6, atol=1e-6,
+    )
