@@ -1,0 +1,139 @@
+"""Shared flax building blocks (NHWC, torch-geometry).
+
+Defaults mirror the reference's post-construction init pass
+(networks.py:49-79 init_net: Conv/Linear weights ~ N(0, 0.02), biases 0);
+other init schemes are applied by ``registry.reinit_params``.
+"""
+
+from typing import Any, Callable, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from dsgan_tpu import ops
+
+normal02 = jax.nn.initializers.normal(stddev=0.02)
+zeros = jax.nn.initializers.zeros
+
+
+def gelu(x):
+    """Exact (erf) GELU — torch nn.GELU default."""
+    return jax.nn.gelu(x, approximate=False)
+
+
+def leaky_relu(x, negative_slope=0.2):
+    return jax.nn.leaky_relu(x, negative_slope)
+
+
+def Conv(
+    features: int,
+    kernel: int,
+    stride: int = 1,
+    padding: Union[int, str, Sequence] = 0,
+    groups: int = 1,
+    dilation: int = 1,
+    bias: bool = True,
+    dtype: Any = None,
+    name: Optional[str] = None,
+) -> nn.Conv:
+    """torch-style Conv2d as a configured flax Conv (NHWC, HWIO kernel)."""
+    if isinstance(padding, int):
+        padding = ((padding, padding), (padding, padding))
+    return nn.Conv(
+        features=features,
+        kernel_size=(kernel, kernel),
+        strides=(stride, stride),
+        padding=padding,
+        feature_group_count=groups,
+        kernel_dilation=(dilation, dilation),
+        use_bias=bias,
+        kernel_init=normal02,
+        bias_init=zeros,
+        dtype=dtype,
+        param_dtype=jnp.float32,
+        name=name,
+    )
+
+
+def Dense(features: int, dtype: Any = None, name: Optional[str] = None) -> nn.Dense:
+    """torch-style Linear over the channel (last) dim."""
+    return nn.Dense(
+        features=features,
+        kernel_init=normal02,
+        bias_init=zeros,
+        dtype=dtype,
+        param_dtype=jnp.float32,
+        name=name,
+    )
+
+
+class ConvTranspose(nn.Module):
+    """torch-style ConvTranspose2d (exact gradient-of-conv geometry).
+
+    Kernel is stored HWIO `[kh, kw, in, out]`; ``ops.conv_transpose2d``
+    performs the spatial flip, so imported torch weights map over with a
+    pure transpose.
+    """
+
+    features: int
+    kernel: int = 3
+    stride: int = 2
+    padding: int = 1
+    output_padding: int = 1
+    use_bias: bool = True
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel
+        w = self.param("kernel", normal02, (k, k, x.shape[-1], self.features), jnp.float32)
+        b = self.param("bias", zeros, (self.features,), jnp.float32) if self.use_bias else None
+        dtype = self.dtype or x.dtype
+        x = x.astype(dtype)
+        w = w.astype(dtype)
+        b = None if b is None else b.astype(dtype)
+        return ops.conv_transpose2d(
+            x, w, b,
+            stride=self.stride,
+            padding=self.padding,
+            output_padding=self.output_padding,
+        )
+
+
+def PReLU(init: float = 0.25, name: Optional[str] = None) -> nn.PReLU:
+    """torch nn.PReLU(): one shared learnable slope, init 0.25."""
+    return nn.PReLU(negative_slope_init=init, name=name)
+
+
+class Norm(nn.Module):
+    """Dispatch on the reference's --norm flag: instance | batch | none.
+
+    'instance' is parameter-free (affine=False, the reference default);
+    'batch' is affine with running stats (torch momentum 0.1 == flax
+    momentum 0.9), controlled by the ``train`` call arg.
+    """
+
+    kind: str = "instance"
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        if self.kind == "instance":
+            return ops.instance_norm(x)
+        if self.kind == "batch":
+            return nn.BatchNorm(
+                use_running_average=not train,
+                momentum=0.9,
+                epsilon=1e-5,
+                dtype=x.dtype,
+                param_dtype=jnp.float32,
+            )(x)
+        if self.kind == "none":
+            return x
+        raise NotImplementedError(f"normalization layer [{self.kind}] is not found")
+
+
+def norm_uses_bias(kind: str) -> bool:
+    """Conv bias policy: bias iff the following norm is InstanceNorm or none
+    (matches use_bias in reference networks.py:85-88)."""
+    return kind != "batch"

@@ -1,0 +1,203 @@
+"""MixConvNeXtML — the DS-GAN dual-stream generator, TPU-native.
+
+Re-designed from the behavior of reference
+DSGAN/models/model/MixConvNeXtML.py (structure cited per block below),
+not translated: everything is NHWC (so the reference Block's
+NCHW->NHWC permute dance disappears — channels-last is simply the native
+layout), pointwise MLPs are Dense ops that XLA tiles onto the MXU, and
+the depthwise 7x7/9x9 convs are the Pallas-fusion targets.
+
+Streams:
+  * Global: ConvNeXt-style U-Net, encoder 64->1024 over 256^2->16^2 with
+    dense cross-scale "downSkip" projections summed into each decoder
+    input (reference MixConvNeXtML.py:428-494).
+  * Local: OriginMLKA mini U-Net of multi-kernel (3/5/7/9) grouped-conv
+    blocks with CBAM channel attention (reference :76-189).
+  * Fusion: 3x3 conv over (global + local); output is UNBOUNDED — the
+    reference has no final tanh (:492-494) and recipes depend on that.
+"""
+
+from typing import Any
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from dsgan_tpu import ops
+from dsgan_tpu.models.layers import Conv, ConvTranspose, Dense, PReLU, gelu
+
+
+class ChannelAttention(nn.Module):
+    """CBAM channel gate (reference CA, MixConvNeXtML.py:5-22)."""
+
+    ratio: int = 8
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        dim = x.shape[-1]
+        fc1 = Conv(dim // self.ratio, 1, bias=False, dtype=self.dtype, name="fc1")
+        fc2 = Conv(dim, 1, bias=False, dtype=self.dtype, name="fc2")
+        act = PReLU(name="relu1")
+        avg_out = fc2(act(fc1(ops.adaptive_avg_pool(x))))
+        max_out = fc2(act(fc1(ops.adaptive_max_pool(x))))
+        return nn.sigmoid(avg_out + max_out)
+
+
+class ConvNeXtBlock(nn.Module):
+    """Reference Block (MixConvNeXtML.py:203-243): 1x1 shortcut +
+    [dw7x7 -> IN -> Dense(4d) -> GELU -> Dense(plans)]."""
+
+    plans: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        dim = x.shape[-1]
+        shortcut = Conv(self.plans, 1, bias=False, dtype=self.dtype, name="shortcut")(x)
+        h = Conv(dim, 7, padding=3, groups=dim, dtype=self.dtype, name="dwconv")(x)
+        h = ops.instance_norm(h)
+        h = Dense(4 * dim, dtype=self.dtype, name="pwconv1")(h)
+        h = gelu(h)
+        h = Dense(self.plans, dtype=self.dtype, name="pwconv2")(h)
+        return shortcut + h
+
+
+class UpBlock(nn.Module):
+    """Reference upSample (MixConvNeXtML.py:48-66): ConvT(3,2,1,1) + IN +
+    GELU, then channel-concat the encoder skip."""
+
+    features: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, skip):
+        h = ConvTranspose(self.features, 3, 2, 1, 1, dtype=self.dtype, name="deconv")(x)
+        h = gelu(ops.instance_norm(h))
+        return jnp.concatenate([h, skip], axis=-1)
+
+
+class DownProject(nn.Module):
+    """One downSkip projection (MixConvNeXtML.py:328-426): maxpool(scale)
+    -> 1x1 conv (no bias) -> IN -> GELU."""
+
+    features: int
+    scale: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        h = ops.max_pool2d(x, self.scale)
+        h = Conv(self.features, 1, bias=False, dtype=self.dtype, name="proj")(h)
+        return gelu(ops.instance_norm(h))
+
+
+class MidMLKA(nn.Module):
+    """Reference MidMLKA (MixConvNeXtML.py:76-117): channel-split into 4
+    groups -> depthwise conv k3/5/7/9 -> concat -> 1x1 -> channel-attention
+    gate -> IN -> residual -> GELU."""
+
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        dim = x.shape[-1]
+        q = dim // 4
+        xs = jnp.split(x, 4, axis=-1)
+        outs = []
+        for i, k in enumerate((3, 5, 7, 9)):
+            outs.append(
+                Conv(q, k, padding=k // 2, groups=q, dtype=self.dtype, name=f"X{k}")(xs[i])
+            )
+        out = jnp.concatenate(outs, axis=-1)
+        out = Conv(dim, 1, dtype=self.dtype, name="conv")(out)
+        out = out * ChannelAttention(dtype=self.dtype, name="attn")(out)
+        out = ops.instance_norm(out)
+        out = out + x
+        return gelu(out)
+
+
+class OriginMLKA(nn.Module):
+    """The local stream (reference OriginMLKA, MixConvNeXtML.py:119-189)."""
+
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        d1 = Conv(32, 1, bias=False, dtype=self.dtype, name="to32")(x)
+        d2 = MidMLKA(dtype=self.dtype, name="mid32")(ops.max_pool2d(d1, 2))
+        d3 = Conv(64, 1, bias=False, dtype=self.dtype, name="to64")(d2)
+        d4 = MidMLKA(dtype=self.dtype, name="mid64")(ops.max_pool2d(d3, 2))
+        d5 = Conv(128, 1, bias=False, dtype=self.dtype, name="to128")(d4)
+        d6 = MidMLKA(dtype=self.dtype, name="mid128")(ops.max_pool2d(d5, 2))
+        d7 = Conv(256, 1, bias=False, dtype=self.dtype, name="to256")(d6)
+        d8 = MidMLKA(dtype=self.dtype, name="mid256")(ops.max_pool2d(d7, 2))
+
+        u1 = UpBlock(128, dtype=self.dtype, name="up1")(d8, d6)
+        u1 = Conv(128, 1, bias=False, dtype=self.dtype, name="upc1_proj")(u1)
+        u1 = MidMLKA(dtype=self.dtype, name="upc1")(u1)
+        u2 = MidMLKA(dtype=self.dtype, name="upc2")(UpBlock(64, dtype=self.dtype, name="up2")(u1, d4))
+        u3 = MidMLKA(dtype=self.dtype, name="upc3")(UpBlock(64, dtype=self.dtype, name="up3")(u2, d3))
+        u4 = ConvTranspose(64, 3, 2, 1, 1, dtype=self.dtype, name="up4")(u3)
+        u4 = ops.instance_norm(u4)
+
+        sc = Conv(64, 1, bias=False, dtype=self.dtype, name="shortcut")(x)
+        sc = ops.instance_norm(sc)
+        return gelu(u4 + sc)
+
+
+class MixConvNeXtML(nn.Module):
+    """The full dual-stream generator (reference MixConvNeXtML.py:428-494).
+
+    Input/output: NHWC, H and W divisible by 16. Output is unbounded
+    (no tanh), matching the reference.
+    """
+
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        in_dtype = x.dtype
+        x = x.astype(self.dtype or x.dtype)
+        dt = self.dtype
+
+        # -- global stream encoder
+        r1 = ConvNeXtBlock(64, dtype=dt, name="c1")(x)
+        r2 = ConvNeXtBlock(128, dtype=dt, name="c2")(ops.max_pool2d(r1, 2))
+        r3 = ConvNeXtBlock(256, dtype=dt, name="c3")(ops.max_pool2d(r2, 2))
+        r4 = ConvNeXtBlock(512, dtype=dt, name="c4")(ops.max_pool2d(r3, 2))
+        r5 = ConvNeXtBlock(1024, dtype=dt, name="c5")(ops.max_pool2d(r4, 2))
+
+        # -- dense cross-scale skips: project every encoder level to every
+        # deeper decoder input resolution/width and sum (downSkip family).
+        d64 = [
+            DownProject(c, s, dtype=dt, name=f"down64_to{s}")(r1)
+            for c, s in ((128, 2), (256, 4), (512, 8), (1024, 16))
+        ]
+        d128 = [
+            DownProject(c, s, dtype=dt, name=f"down128_to{s}")(r2)
+            for c, s in ((256, 2), (512, 4), (1024, 8))
+        ]
+        d256 = [
+            DownProject(c, s, dtype=dt, name=f"down256_to{s}")(r3)
+            for c, s in ((512, 2), (1024, 4))
+        ]
+        d512 = [DownProject(1024, 2, dtype=dt, name="down512_to2")(r4)]
+
+        # -- decoder with skip concat + ConvNeXt fusion
+        o1 = ConvNeXtBlock(512, dtype=dt, name="uc1")(
+            UpBlock(512, dtype=dt, name="u1")(r5 + d64[3] + d128[2] + d256[1] + d512[0], r4)
+        )
+        o2 = ConvNeXtBlock(256, dtype=dt, name="uc2")(
+            UpBlock(256, dtype=dt, name="u2")(o1 + d64[2] + d128[1] + d256[0], r3)
+        )
+        o3 = ConvNeXtBlock(128, dtype=dt, name="uc3")(
+            UpBlock(128, dtype=dt, name="u3")(o2 + d64[1] + d128[0], r2)
+        )
+        o4 = ConvNeXtBlock(64, dtype=dt, name="uc4")(
+            UpBlock(64, dtype=dt, name="u4")(o3 + d64[0], r1)
+        )
+
+        # -- local stream + fusion
+        loc = OriginMLKA(dtype=dt, name="local")(x)
+        out = Conv(3, 3, padding=1, dtype=dt, name="res")(o4 + loc)
+        return out.astype(in_dtype)

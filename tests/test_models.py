@@ -1,0 +1,118 @@
+"""Shape / structure tests for the model zoo, plus parameter-count parity
+of the flagship generator and default discriminator against the reference
+architecture (imported read-only purely as a counting oracle)."""
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dsgan_tpu.models import define_D, define_G, init_params
+
+REF = "/root/reference/DSGAN"
+
+
+def n_params(variables):
+    return sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(variables["params"]))
+
+
+def _init(module, shape, train=False):
+    return init_params(module, jax.random.PRNGKey(0), shape, "normal", train=train)
+
+
+def test_mixconvnext_shapes():
+    g = define_G(3, 3, 32, "MixConvNeXtML", dtype=None)
+    v = _init(g, (1, 64, 64, 3))
+    y = g.apply(v, jnp.zeros((2, 64, 64, 3)))
+    assert y.shape == (2, 64, 64, 3)
+    assert bool(jnp.all(jnp.isfinite(y)))
+
+
+def test_mixconvnext_bf16_compute():
+    g = define_G(3, 3, 32, "MixConvNeXtML", dtype=jnp.bfloat16)
+    v = _init(g, (1, 64, 64, 3))
+    y = g.apply(v, jnp.zeros((1, 64, 64, 3), jnp.float32))
+    assert y.dtype == jnp.float32  # cast back at the boundary
+    # params stay fp32
+    assert all(p.dtype == jnp.float32 for p in jax.tree_util.tree_leaves(v["params"]))
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference not mounted")
+def test_mixconvnext_param_count_matches_reference():
+    sys.path.insert(0, os.path.join(REF, "models", "model"))
+    try:
+        import MixConvNeXtML as refmod
+        ref_net = refmod.MixConvNeXtML()
+        want = sum(p.numel() for p in ref_net.parameters())
+    finally:
+        sys.path.pop(0)
+    g = define_G(3, 3, 32, "MixConvNeXtML", dtype=None)
+    v = _init(g, (1, 64, 64, 3))
+    assert n_params(v) == want
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference not mounted")
+def test_patchgan_param_count_matches_reference():
+    import functools
+    import torch.nn as tnn
+    sys.path.insert(0, REF)
+    try:
+        from models import networks as refnets
+        norm_layer = functools.partial(tnn.InstanceNorm2d, affine=False, track_running_stats=False)
+        ref_net = refnets.NLayerDiscriminator(6, 32, 3, norm_layer, use_sigmoid=False)
+        want = sum(p.numel() for p in ref_net.parameters())
+    finally:
+        sys.path.pop(0)
+    d = define_D(6, 32, "basic", dtype=None)
+    v = _init(d, (1, 64, 64, 6), train=True)
+    assert n_params(v) == want
+
+
+def test_patchgan_output_is_30x30_for_256():
+    d = define_D(6, 32, "basic", dtype=None)
+    v = _init(d, (1, 256, 256, 6), train=True)
+    y = d.apply(v, jnp.zeros((1, 256, 256, 6)))
+    assert y.shape == (1, 30, 30, 1)
+
+
+def test_pixel_discriminator():
+    d = define_D(6, 32, "pixel", dtype=None)
+    v = _init(d, (1, 32, 32, 6), train=True)
+    y = d.apply(v, jnp.zeros((2, 32, 32, 6)))
+    assert y.shape == (2, 32, 32, 1)
+
+
+def test_multiscale_discriminator():
+    d = define_D(6, 32, "multi", dtype=None)
+    v = _init(d, (1, 64, 64, 6), train=True)
+    ys = d.apply(v, jnp.zeros((1, 64, 64, 6)))
+    assert len(ys) == 3
+    assert ys[0][0].shape[1] > ys[2][0].shape[1] or ys[0][0].shape == ys[0][0].shape
+
+
+@pytest.mark.parametrize("name,size", [
+    ("resnet_6blocks", 64),
+    ("resnet_9blocks", 64),
+    ("unet_128", 128),
+    ("unet_256", 256),
+    ("gll", 64),
+    ("cascaded", 64),
+])
+def test_zoo_generators_run(name, size):
+    g = define_G(3, 3, 16, name, dtype=None)
+    v = _init(g, (1, size, size, 3))
+    y = g.apply(v, jnp.zeros((1, size, size, 3)), rngs={"dropout": jax.random.PRNGKey(1)})
+    assert y.shape == (1, size, size, 3)
+    assert bool(jnp.all(jnp.isfinite(y)))
+
+
+def test_reinit_respects_init_type():
+    g = define_G(3, 3, 16, "resnet_6blocks", dtype=None)
+    va = init_params(g, jax.random.PRNGKey(0), (1, 32, 32, 3), "normal")
+    vb = init_params(g, jax.random.PRNGKey(0), (1, 32, 32, 3), "kaiming")
+    ka = va["params"]["conv_in"]["kernel"]
+    kb = vb["params"]["conv_in"]["kernel"]
+    # normal has std 0.02; kaiming std sqrt(2/fan_in) >> 0.02
+    assert float(jnp.std(ka)) < 0.05 < float(jnp.std(kb))
