@@ -1,0 +1,130 @@
+"""BaseModel: shared lifecycle for the training algorithms
+(the TPU-native re-design of reference DSGAN/models/base_model.py:18-177).
+
+State is a single pytree (params + optimizer moments + replay pool + RNG +
+step) advanced by ONE jitted step function; this class is the thin
+host-side shell that carries options, checkpoints, the LR schedule, and
+lazily-fetched metrics so the device never syncs per image.
+"""
+
+import os
+from collections import OrderedDict
+
+import jax
+import numpy as np
+
+from dsgan_tpu.utils import checkpoint as ckpt
+from dsgan_tpu.utils.util import tensor2im
+
+
+class BaseModel:
+    @staticmethod
+    def modify_commandline_options(parser, is_train=True):
+        return parser
+
+    def name(self):
+        return "BaseModel"
+
+    def initialize(self, opt):
+        self.opt = opt
+        self.isTrain = opt.isTrain
+        self.save_dir = os.path.join(opt.checkpoints_dir, opt.name)
+        self.loss_names = []
+        self.visual_names = []
+        self.image_paths = []
+        self._metrics = {}
+        self._last_epoch = 0  # LambdaLR last_epoch counter
+        self.lr = getattr(opt, "lr", 0.0)
+
+    # -- lifecycle ---------------------------------------------------------
+    def setup(self, opt):
+        """Load checkpoint when testing or resuming (reference
+        base_model.py:38-45) and prime the LR schedule."""
+        if not self.isTrain or getattr(opt, "continue_train", False):
+            which = getattr(opt, "which_epoch", "latest")
+            self.load_networks(which)
+        if self.isTrain:
+            self._set_lr_from_schedule()
+
+    def set_input(self, input):
+        raise NotImplementedError
+
+    def optimize_parameters(self):
+        raise NotImplementedError
+
+    def test(self):
+        """Inference forward (no grads by construction — pure function)."""
+        self.forward()
+
+    # -- learning rate (torch LambdaLR semantics, networks.py:33-39) -------
+    def _lr_lambda(self, last_epoch):
+        opt = self.opt
+        num = max(0, last_epoch + 1 + opt.epoch_count - opt.niter)
+        return 1.0 - num / float(opt.niter_decay + 1)
+
+    def _set_lr_from_schedule(self):
+        policy = getattr(self.opt, "lr_policy", "lambda")
+        if policy == "lambda":
+            self.lr = self.opt.lr * self._lr_lambda(self._last_epoch)
+        elif policy == "step":
+            decays = self._last_epoch // self.opt.lr_decay_iters
+            self.lr = self.opt.lr * (0.1**decays)
+        else:
+            raise NotImplementedError(f"learning rate policy [{policy}] is not implemented")
+
+    def update_learning_rate(self):
+        """Step all schedulers at the end of an epoch (base_model.py:68-72)."""
+        self._last_epoch += 1
+        self._set_lr_from_schedule()
+        print("learning rate = %.7f" % self.lr)
+
+    # -- introspection -----------------------------------------------------
+    def get_current_losses(self):
+        """Fetch the last step's losses as floats (one host sync, done at
+        print frequency only)."""
+        out = OrderedDict()
+        for name in self.loss_names:
+            key = "loss_" + name
+            if key in self._metrics:
+                out[name] = float(np.asarray(self._metrics[key]))
+        return out
+
+    def get_current_metrics(self):
+        return {k: float(np.asarray(v)) for k, v in self._metrics.items()
+                if np.asarray(v).ndim == 0}
+
+    def get_current_visuals(self):
+        out = OrderedDict()
+        for name in self.visual_names:
+            val = getattr(self, name, None)
+            if val is not None:
+                out[name] = tensor2im(val)
+        return out
+
+    def print_networks(self, verbose=False):
+        for name, params in self._network_params().items():
+            n = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
+            print("[Network %s] Total number of parameters : %.3f M" % (name, n / 1e6))
+
+    def _network_params(self):
+        return {}
+
+    # -- persistence -------------------------------------------------------
+    def _checkpoint_pytree(self):
+        raise NotImplementedError
+
+    def _load_checkpoint_pytree(self, tree):
+        raise NotImplementedError
+
+    def save_networks(self, which_epoch):
+        path = ckpt.save_state(self.save_dir, which_epoch, self._checkpoint_pytree())
+        print(f"saved checkpoint: {path}")
+
+    def load_networks(self, which_epoch):
+        if which_epoch == "latest":
+            which_epoch = ckpt.latest_epoch(self.save_dir)
+            if which_epoch is None:
+                raise FileNotFoundError(f"no checkpoints in {self.save_dir}")
+        tree = ckpt.restore_state(self.save_dir, which_epoch, self._checkpoint_pytree())
+        self._load_checkpoint_pytree(tree)
+        print(f"loaded checkpoint epoch {which_epoch} from {self.save_dir}")

@@ -1,0 +1,351 @@
+"""Pix2Pix training algorithm — the DS-GAN trainer — as ONE fused XLA step.
+
+Reference behavior being matched (DSGAN/models/pix2pix_model.py):
+  forward:    fake_B = G(real_A)                                (:138-139)
+  D update:   pooled fake_AB (condition: cat(A, fake)) detached,
+              0.5*(BCE(D(fake),0) + BCE(D(real),1)), Adam step  (:141-162)
+  G update:   BCE(D_new(cat(A, fake)),1)*w_gan + L1
+              + VGG-L1(taps 0..3)*w_vgg + TV/(320*256)*w_tv
+              + w_ss*(1 - SSIM((B+1)/2,(fake+1)/2))             (:164-199)
+  The effective-default GAN criterion is BCEWithLogits
+  (GANLoss(use_lsgan=opt.no_lsgan), no_lsgan=False) (:112-114).
+
+TPU-native design:
+  * ONE G forward + ONE G backward per step via jax.vjp — the reference
+    runs 2-3 G forwards per iteration (train.py:108-115).
+  * The replay pool is device state inside the step (utils/image_pool.py).
+  * D is updated first, then the G loss is evaluated against the UPDATED
+    D (the reference's sequencing), all inside a single jit with donated
+    state — zero host round-trips.
+  * SSIM/PSNR quality metrics are computed on device in the same program.
+"""
+
+import dataclasses
+import functools
+import inspect
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from dsgan_tpu import ops
+from dsgan_tpu.models import registry
+from dsgan_tpu.models.base_model import BaseModel
+from dsgan_tpu.models.vgg import Vgg16Features, load_torchvision_npz
+from dsgan_tpu.utils.image_pool import init_pool, pool_query
+
+
+@struct.dataclass
+class Pix2PixState:
+    params_G: Any
+    params_D: Any
+    opt_G: Any
+    opt_D: Any
+    pool_images: Any
+    pool_count: Any
+    rng: Any
+    step: Any
+
+
+@dataclasses.dataclass(frozen=True)
+class Pix2PixConfig:
+    gan_mode: str = "vanilla"       # 'vanilla' | 'lsgan' | 'bce'
+    use_gan: bool = True
+    use_condition: bool = True
+    pool_size: int = 50
+    w_gan: float = 0.01
+    w_vgg: float = 1.0
+    w_tv: float = 1.0
+    w_ss: float = 1.25
+    use_vgg: bool = True
+    beta1: float = 0.5
+
+
+def make_adam(beta1):
+    """torch.optim.Adam direction (lr applied separately so the schedule
+    never retraces the step)."""
+    return optax.scale_by_adam(b1=beta1, b2=0.999, eps=1e-8, eps_root=0.0)
+
+
+def _apply_net(net, params, x, train, rng=None):
+    kwargs = {}
+    if "train" in inspect.signature(net.__call__).parameters:
+        kwargs["train"] = train
+    rngs = {"dropout": rng} if rng is not None else None
+    return net.apply({"params": params}, x, rngs=rngs, **kwargs)
+
+
+def make_train_step(G, D, vgg: Optional[Vgg16Features], vgg_params, cfg: Pix2PixConfig):
+    """Build the pure fused step: (state, real_A, real_B, lr) -> (state, metrics)."""
+    adam = make_adam(cfg.beta1)
+
+    def sgd_apply(params, updates, lr):
+        return jax.tree_util.tree_map(lambda p, u: p - lr * u.astype(p.dtype), params, updates)
+
+    def step(state: Pix2PixState, real_A, real_B, lr):
+        rng, r_pool, r_drop_g, r_drop_d = jax.random.split(state.rng, 4)
+
+        # ---- G forward once, with VJP closure for the later G update
+        def g_forward(pg):
+            return _apply_net(G, pg, real_A, True, r_drop_g)
+
+        fake_B, g_vjp = jax.vjp(g_forward, state.params_G)
+        fake_B_sg = jax.lax.stop_gradient(fake_B)
+
+        pool_images, pool_count = state.pool_images, state.pool_count
+        metrics = {}
+
+        # ---- D update (reference backward_D)
+        if cfg.use_gan:
+            if cfg.use_condition:
+                fake_AB = jnp.concatenate([real_A, fake_B_sg], axis=-1)
+                real_AB = jnp.concatenate([real_A, real_B], axis=-1)
+            else:
+                fake_AB, real_AB = fake_B_sg, real_B
+            if cfg.pool_size > 0:
+                pool_images, pool_count, fake_AB = pool_query(
+                    pool_images, pool_count, fake_AB, r_pool
+                )
+
+            def d_loss_fn(pd):
+                pred_fake = _apply_net(D, pd, fake_AB, True, r_drop_d)
+                pred_real = _apply_net(D, pd, real_AB, True, r_drop_d)
+                loss_fake = ops.gan_loss(pred_fake, False, cfg.gan_mode)
+                loss_real = ops.gan_loss(pred_real, True, cfg.gan_mode)
+                return 0.5 * (loss_fake + loss_real), (loss_fake, loss_real)
+
+            (loss_D, (loss_D_fake, loss_D_real)), grads_D = jax.value_and_grad(
+                d_loss_fn, has_aux=True
+            )(state.params_D)
+            upd_D, opt_D = adam.update(grads_D, state.opt_D)
+            params_D = sgd_apply(state.params_D, upd_D, lr)
+            metrics.update(loss_D=loss_D, loss_D_fake=loss_D_fake, loss_D_real=loss_D_real)
+        else:
+            params_D, opt_D = state.params_D, state.opt_D
+            zero = jnp.zeros((), jnp.float32)
+            metrics.update(loss_D=zero, loss_D_fake=zero, loss_D_real=zero)
+
+        # ---- G update against the updated D (reference backward_G ordering)
+        def g_loss_from_fake(fb):
+            aux = {}
+            if cfg.use_gan:
+                fake_AB_g = (
+                    jnp.concatenate([real_A, fb], axis=-1) if cfg.use_condition else fb
+                )
+                pred_fake = _apply_net(D, params_D, fake_AB_g, True, r_drop_d)
+                loss_gan = ops.gan_loss(pred_fake, True, cfg.gan_mode)
+            else:
+                loss_gan = jnp.zeros((), jnp.float32)
+            loss_l1 = ops.l1_loss(fb, real_B)
+            if cfg.use_vgg and vgg is not None:
+                feats_fake = vgg.apply(vgg_params, fb)
+                feats_real = vgg.apply(vgg_params, real_B)
+                loss_vgg = ops.perceptual_loss(feats_fake, feats_real, num_taps=4)
+            else:
+                loss_vgg = jnp.zeros((), jnp.float32)
+            loss_tv = ops.tv_loss(fb)
+            loss_ssim = ops.ssim_loss(real_B, fb)
+            total = (
+                loss_gan * cfg.w_gan
+                + loss_l1
+                + loss_vgg * cfg.w_vgg
+                + loss_tv * cfg.w_tv
+                + cfg.w_ss * loss_ssim
+            )
+            aux.update(
+                loss_G_GAN=loss_gan, loss_G_L1=loss_l1, loss_vgg=loss_vgg,
+                loss_tv=loss_tv, loss_ssim=loss_ssim, loss_G=total,
+            )
+            return total, aux
+
+        (_, g_aux), dfake = jax.value_and_grad(g_loss_from_fake, has_aux=True)(fake_B)
+        (grads_G,) = g_vjp(dfake)
+        upd_G, opt_G = adam.update(grads_G, state.opt_G)
+        params_G = sgd_apply(state.params_G, upd_G, lr)
+        metrics.update(g_aux)
+
+        # ---- on-device quality metrics (reference protocol, no host sync)
+        fake_q = ops.metrics.quantize_uint8(fake_B_sg)
+        real_q = ops.metrics.quantize_uint8(real_B)
+        metrics["psnr"] = ops.psnr_uint8(real_q, fake_q)
+        metrics["ssim"] = ops.ssim_uint8(real_q, fake_q)
+
+        new_state = Pix2PixState(
+            params_G=params_G,
+            params_D=params_D,
+            opt_G=opt_G,
+            opt_D=opt_D,
+            pool_images=pool_images,
+            pool_count=pool_count,
+            rng=rng,
+            step=state.step + 1,
+        )
+        return new_state, metrics, fake_B_sg
+
+    return step
+
+
+class Pix2PixModel(BaseModel):
+    """Host-side shell: options -> modules -> state -> fused step."""
+
+    def name(self):
+        return "Pix2PixModel"
+
+    @staticmethod
+    def modify_commandline_options(parser, is_train=True):
+        if is_train:
+            parser.add_argument(
+                "--lambda_L1", type=float, default=100.0,
+                help="weight for L1 loss (parity flag; unused by the loss, "
+                     "matching reference pix2pix_model.py:70 which defines "
+                     "but never applies it)",
+            )
+        return parser
+
+    def initialize(self, opt):
+        BaseModel.initialize(self, opt)
+        self.loss_names = ["G_GAN", "G_L1", "D_real", "D_fake"]
+        self.visual_names = ["real_A", "fake_B", "real_B"]
+        self.model_names = ["G", "D"] if self.isTrain else ["G"]
+
+        dtype = jnp.bfloat16 if getattr(opt, "dtype", "bfloat16") == "bfloat16" else None
+        self.netG = registry.define_G(
+            opt.input_nc, opt.output_nc, opt.ngf, opt.which_model_netG,
+            opt.norm, not opt.no_dropout, dtype=dtype,
+        )
+        rng = jax.random.PRNGKey(getattr(opt, "seed", 20))
+        rng, kg, kd, kv, kstate = jax.random.split(rng, 5)
+        h, w = opt.fineSize_h, opt.fineSize_w
+        params_G = registry.init_params(
+            self.netG, kg, (1, h, w, opt.input_nc), opt.init_type
+        )["params"]
+
+        if self.isTrain:
+            use_sigmoid = opt.no_lsgan
+            d_in_nc = (
+                opt.input_nc + opt.output_nc if opt.use_condition == 1 else opt.output_nc
+            )
+            self.netD = registry.define_D(
+                d_in_nc, opt.ndf, opt.which_model_netD, opt.n_layers_D,
+                opt.norm, use_sigmoid, dtype=dtype,
+            )
+            params_D = registry.init_params(
+                self.netD, kd, (1, h, w, d_in_nc), opt.init_type
+            )["params"]
+
+            # GAN criterion wiring matches GANLoss(use_lsgan=opt.no_lsgan):
+            # default no_lsgan=False -> BCE-with-logits on raw logits.
+            # When --no_lsgan is passed the reference both turns on the
+            # sigmoid in D and selects MSE -> lsgan on probabilities.
+            gan_mode = "lsgan" if opt.no_lsgan else "vanilla"
+
+            self.vgg = Vgg16Features(dtype=dtype)
+            vgg_weights = getattr(opt, "vgg_weights", "")
+            if vgg_weights:
+                self.vgg_params = load_torchvision_npz(vgg_weights)
+            else:
+                self.vgg_params = self.vgg.init(kv, jnp.zeros((1, 64, 64, 3)))
+
+            cfg = Pix2PixConfig(
+                gan_mode=gan_mode,
+                use_gan=int(opt.use_GAN) == 1,
+                use_condition=int(opt.use_condition) == 1,
+                pool_size=opt.pool_size,
+                w_gan=float(opt.w_gan),
+                w_vgg=float(opt.w_vgg),
+                w_tv=float(opt.w_tv),
+                w_ss=float(opt.w_ss),
+                use_vgg=float(opt.w_vgg) != 0.0,
+                beta1=opt.beta1,
+            )
+            self.cfg = cfg
+            adam = make_adam(cfg.beta1)
+            pool_images, pool_count = init_pool(
+                max(cfg.pool_size, 0), (h, w, d_in_nc), jnp.float32
+            )
+            self.state = Pix2PixState(
+                params_G=params_G,
+                params_D=params_D,
+                opt_G=adam.init(params_G),
+                opt_D=adam.init(params_D),
+                pool_images=pool_images,
+                pool_count=pool_count,
+                rng=kstate,
+                step=jnp.zeros((), jnp.int32),
+            )
+            self._step_fn = jax.jit(
+                make_train_step(self.netG, self.netD, self.vgg, self.vgg_params, cfg),
+                donate_argnums=(0,),
+            )
+        else:
+            self.state = Pix2PixState(
+                params_G=params_G, params_D=None, opt_G=None, opt_D=None,
+                pool_images=None, pool_count=None, rng=kstate,
+                step=jnp.zeros((), jnp.int32),
+            )
+
+        self._infer_fn = jax.jit(
+            lambda pg, x: _apply_net(self.netG, pg, x, False)
+        )
+        self.lr = getattr(opt, "lr", 2e-4)
+
+    # -- data in -----------------------------------------------------------
+    def set_input(self, input):
+        AtoB = self.opt.which_direction == "AtoB"
+        self.real_A = jnp.asarray(input["A" if AtoB else "B"])
+        self.real_B = jnp.asarray(input["B" if AtoB else "A"])
+        self.image_paths = input.get("A_paths" if AtoB else "B_paths", [])
+
+    # -- step --------------------------------------------------------------
+    def optimize_parameters(self):
+        self.state, self._metrics, self.fake_B = self._step_fn(
+            self.state, self.real_A, self.real_B, jnp.float32(self.lr)
+        )
+
+    def forward(self):
+        self.fake_B = self._infer_fn(self.state.params_G, self.real_A)
+        return self.fake_B
+
+    # -- metrics (device-computed; one sync per call) -----------------------
+    def cal_ssim(self, input=None):
+        return float(np.asarray(self._metrics["ssim"]))
+
+    def cal_psnr(self, input=None):
+        return float(np.asarray(self._metrics["psnr"]))
+
+    # -- persistence --------------------------------------------------------
+    def _network_params(self):
+        nets = {"G": self.state.params_G}
+        if self.isTrain:
+            nets["D"] = self.state.params_D
+        return nets
+
+    def _checkpoint_pytree(self):
+        return {
+            "state": self.state,
+            "lr_last_epoch": np.asarray(self._last_epoch, np.int32),
+        }
+
+    def _load_checkpoint_pytree(self, tree):
+        self.state = tree["state"]
+        self._last_epoch = int(tree["lr_last_epoch"])
+        if self.isTrain:
+            self._set_lr_from_schedule()
+
+    def load_networks(self, which_epoch):
+        if self.isTrain:
+            return BaseModel.load_networks(self, which_epoch)
+        # inference-only: pull just the generator out of a train checkpoint
+        from dsgan_tpu.utils import checkpoint as ckpt
+
+        if which_epoch == "latest":
+            which_epoch = ckpt.latest_epoch(self.save_dir)
+            if which_epoch is None:
+                raise FileNotFoundError(f"no checkpoints in {self.save_dir}")
+        tree = ckpt.restore_untyped(self.save_dir, which_epoch)
+        params_G = jax.tree_util.tree_map(jnp.asarray, tree["state"]["params_G"])
+        self.state = self.state.replace(params_G=params_G)
+        print(f"loaded generator from epoch {which_epoch} checkpoint")

@@ -1,0 +1,157 @@
+"""Fused pix2pix train-step tests: pool semantics, step execution,
+overfit-one-batch convergence, checkpoint roundtrip."""
+import argparse
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dsgan_tpu.utils.image_pool import init_pool, pool_query
+
+
+def small_opt(tmp_path, **kw):
+    d = dict(
+        isTrain=True, model="pix2pix", which_model_netG="resnet_6blocks",
+        which_model_netD="basic", dataset_mode="aligned", norm="instance",
+        input_nc=3, output_nc=3, ngf=8, ndf=8, n_layers_D=3,
+        fineSize_w=32, fineSize_h=32, loadSize_w=32, loadSize_h=32,
+        batchSize=2, use_GAN=1, use_condition=1, w_gan=0.01, w_vgg=0.0,
+        w_tv=1.0, w_ss=1.25, pool_size=4, no_lsgan=False, no_dropout=True,
+        init_type="normal", lr=2e-4, beta1=0.5, niter=10, niter_decay=10,
+        epoch_count=1, lr_policy="lambda", lr_decay_iters=50,
+        which_direction="AtoB", checkpoints_dir=str(tmp_path), name="t",
+        seed=20, dtype="float32", vgg_weights="", continue_train=False,
+        which_epoch="1",
+    )
+    d.update(kw)
+    return argparse.Namespace(**d)
+
+
+def make_model(tmp_path, **kw):
+    from dsgan_tpu.models.pix2pix import Pix2PixModel
+
+    m = Pix2PixModel()
+    m.initialize(small_opt(tmp_path, **kw))
+    return m
+
+
+def batch(rng, b=2, s=32):
+    a = rng.uniform(-1, 1, (b, s, s, 3)).astype(np.float32)
+    bb = np.tanh(a * 0.5 + 0.1).astype(np.float32)
+    return {"A": a, "B": bb}
+
+
+def test_pool_fills_then_replays():
+    imgs, cnt = init_pool(4, (4, 4, 2))
+    rng = jax.random.PRNGKey(0)
+    x1 = jnp.ones((2, 4, 4, 2))
+    imgs, cnt, out = pool_query(imgs, cnt, x1, rng)
+    # filling phase: identity return, buffer filled in order
+    assert int(cnt) == 2
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(x1))
+    np.testing.assert_array_equal(np.asarray(imgs[:2]), np.asarray(x1))
+
+    x2 = 2 * jnp.ones((2, 4, 4, 2))
+    imgs, cnt, out = pool_query(imgs, cnt, x2, jax.random.PRNGKey(1))
+    assert int(cnt) == 4
+
+    # replay phase: each returned image is either the query or a stored one
+    stored_before = np.asarray(imgs)
+    x3 = 3 * jnp.ones((2, 4, 4, 2))
+    imgs, cnt, out = pool_query(imgs, cnt, x3, jax.random.PRNGKey(2))
+    assert int(cnt) == 4
+    out_np = np.asarray(out)
+    for i in range(2):
+        v = out_np[i, 0, 0, 0]
+        assert v == 3.0 or v in stored_before[:, 0, 0, 0]
+
+
+def test_pool_replay_swap_rate():
+    imgs, cnt = init_pool(8, (2, 2, 1))
+    imgs, cnt, _ = pool_query(imgs, cnt, jnp.zeros((8, 2, 2, 1)), jax.random.PRNGKey(0))
+    swaps = 0
+    n = 200
+    for i in range(n):
+        imgs, cnt, out = pool_query(
+            imgs, cnt, jnp.full((1, 2, 2, 1), float(i + 1)), jax.random.PRNGKey(100 + i)
+        )
+        if float(out[0, 0, 0, 0]) != float(i + 1):
+            swaps += 1
+    assert 0.3 < swaps / n < 0.7  # ~50% swap probability
+
+
+def test_train_step_runs_and_updates(tmp_path):
+    m = make_model(tmp_path)
+    rng = np.random.default_rng(0)
+    b = batch(rng)
+    p0 = jax.tree_util.tree_map(np.asarray, m.state.params_G)
+    for _ in range(2):
+        m.set_input(b)
+        m.optimize_parameters()
+    losses = m.get_current_losses()
+    assert set(losses) == {"G_GAN", "G_L1", "D_real", "D_fake"}
+    assert all(np.isfinite(v) for v in losses.values())
+    assert int(m.state.step) == 2
+    # params actually moved
+    p1 = m.state.params_G
+    moved = jax.tree_util.tree_map(lambda a, b: float(np.abs(a - np.asarray(b)).max()), p0, p1)
+    assert max(jax.tree_util.tree_leaves(moved)) > 0
+    # metrics present and sane
+    met = m.get_current_metrics()
+    assert 0 <= met["ssim"] <= 1.0001
+    assert met["psnr"] > 0
+
+
+def test_overfit_one_batch_converges(tmp_path):
+    m = make_model(tmp_path, use_GAN=0, pool_size=0, lr=2e-3)
+    rng = np.random.default_rng(1)
+    b = batch(rng)
+    m.set_input(b)
+    first = None
+    for i in range(40):
+        m.optimize_parameters()
+        if i == 0:
+            first = float(np.asarray(m._metrics["loss_G"]))
+    last = float(np.asarray(m._metrics["loss_G"]))
+    assert last < first * 0.7, (first, last)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    m = make_model(tmp_path)
+    rng = np.random.default_rng(2)
+    m.set_input(batch(rng))
+    m.optimize_parameters()
+    m.save_networks(1)
+
+    m2 = make_model(tmp_path)
+    m2.load_networks(1)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(m.state.params_G),
+        jax.tree_util.tree_leaves(m2.state.params_G),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(m2.state.step) == 1
+
+    # inference-only load pulls G out of the train checkpoint
+    m3 = make_model(tmp_path, isTrain=False)
+    m3.load_networks(1)
+    x = jnp.asarray(batch(rng)["A"])
+    ya = m.forward() if False else None
+    y2 = m2._infer_fn(m2.state.params_G, x)
+    y3 = m3._infer_fn(m3.state.params_G, x)
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(y3), atol=1e-6)
+
+
+def test_lr_schedule_matches_reference_lambda(tmp_path):
+    m = make_model(tmp_path)
+    # torch LambdaLR: lr factor at epoch e (1-based, epoch_count=1, niter=10,
+    # niter_decay=10): 1 - max(0, e + 1 - 10)/11 evaluated after e-1 steps
+    got = [m.lr]
+    for _ in range(20):
+        m.update_learning_rate()
+        got.append(m.lr)
+    want = [2e-4 * (1.0 - max(0, le + 1 + 1 - 10) / 11.0) for le in range(21)]
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+    # the lr used for the final (20th) epoch decays to exactly 0
+    assert abs(got[19]) < 1e-12
