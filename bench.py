@@ -1,0 +1,91 @@
+"""Throughput benchmark: full G+D fused train step, default DS-GAN recipe
+(MixConvNeXtML + conditional PatchGAN + L1/VGG/TV/SSIM composite loss,
+bf16 compute) at 256x256 on the visible accelerator.
+
+Prints ONE JSON line:
+  {"metric": "train_images_per_sec", "value": N, "unit": "img/s",
+   "vs_baseline": N / 1000}
+vs_baseline is against the 1,000 img/s/chip north star in BASELINE.md
+(the reference publishes no throughput numbers).
+
+Env knobs: BENCH_BATCH (default 8), BENCH_STEPS (default 20),
+BENCH_SIZE (default 256), BENCH_VGG=0 to drop the perceptual term.
+"""
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from dsgan_tpu.models import define_D, define_G, init_params
+    from dsgan_tpu.models.pix2pix import (
+        Pix2PixConfig,
+        Pix2PixState,
+        make_adam,
+        make_train_step,
+    )
+    from dsgan_tpu.models.vgg import Vgg16Features
+    from dsgan_tpu.utils.image_pool import init_pool
+
+    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    steps = int(os.environ.get("BENCH_STEPS", "20"))
+    size = int(os.environ.get("BENCH_SIZE", "256"))
+    use_vgg = os.environ.get("BENCH_VGG", "1") == "1"
+
+    g = define_G(3, 3, 32, "MixConvNeXtML", dtype=jnp.bfloat16)
+    d = define_D(6, 32, "basic", dtype=jnp.bfloat16)
+    kg, kd, kv, ks = jax.random.split(jax.random.PRNGKey(0), 4)
+    params_G = init_params(g, kg, (1, size, size, 3), "normal")["params"]
+    params_D = init_params(d, kd, (1, size, size, 6), "normal")["params"]
+
+    vgg = Vgg16Features(dtype=jnp.bfloat16) if use_vgg else None
+    vgg_params = vgg.init(kv, jnp.zeros((1, 64, 64, 3))) if use_vgg else None
+
+    cfg = Pix2PixConfig(pool_size=50, use_vgg=use_vgg)
+    adam = make_adam(cfg.beta1)
+    pool_images, pool_count = init_pool(cfg.pool_size, (size, size, 6), jnp.float32)
+    state = Pix2PixState(
+        params_G=params_G,
+        params_D=params_D,
+        opt_G=adam.init(params_G),
+        opt_D=adam.init(params_D),
+        pool_images=pool_images,
+        pool_count=pool_count,
+        rng=ks,
+        step=jnp.zeros((), jnp.int32),
+    )
+
+    step = jax.jit(make_train_step(g, d, vgg, vgg_params, cfg), donate_argnums=(0,))
+
+    rng = np.random.default_rng(0)
+    real_A = jnp.asarray(rng.uniform(-1, 1, (batch, size, size, 3)).astype(np.float32))
+    real_B = jnp.asarray(rng.uniform(-1, 1, (batch, size, size, 3)).astype(np.float32))
+    lr = jnp.float32(2e-4)
+
+    # warmup / compile
+    for _ in range(3):
+        state, metrics, _ = step(state, real_A, real_B, lr)
+    jax.block_until_ready(metrics)
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, metrics, _ = step(state, real_A, real_B, lr)
+    jax.block_until_ready(metrics)
+    dt = time.perf_counter() - t0
+
+    ips = batch * steps / dt
+    print(json.dumps({
+        "metric": "train_images_per_sec",
+        "value": round(ips, 2),
+        "unit": "img/s",
+        "vs_baseline": round(ips / 1000.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,144 @@
+"""Dataset classes: aligned (paired TIR<->RGB), unaligned (CycleGAN-style),
+single (inference-only). Pure-host, index-based; batching/prefetch lives in
+loader.py.
+
+AlignedDataset matches reference DSGAN/data/aligned_dataset.py:27-90:
+  dir = dataroot/phase; pairing by half-split; ToTensor -> random crop
+  offset in [0, loadSize-fineSize-1] -> [-1,1] -> joint random hflip ->
+  optional RGB->gray when nc==1.
+"""
+
+import os
+
+import numpy as np
+from PIL import Image
+
+from dsgan_tpu.data import transforms as T
+from dsgan_tpu.data.image_folder import list_images, make_dataset
+
+
+def _open_rgb(path):
+    return Image.open(path).convert("RGB")
+
+
+class AlignedDataset:
+    def initialize(self, opt, rng=None):
+        self.opt = opt
+        self.dir_AB = os.path.join(opt.dataroot, opt.phase)
+        self.A_paths, self.B_paths = make_dataset(self.dir_AB)
+        assert opt.resize_or_crop == "resize_and_crop"
+        self.rng = rng or np.random.default_rng(getattr(opt, "seed", 20))
+
+    def __getitem__(self, index):
+        opt = self.opt
+        A_path = self.A_paths[index]
+        B_path = self.B_paths[index]
+        A = T.to_array(_open_rgb(A_path))
+        B = T.to_array(_open_rgb(B_path))
+
+        w_off_max = max(0, opt.loadSize_w - opt.fineSize_w - 1)
+        h_off_max = max(0, opt.loadSize_h - opt.fineSize_h - 1)
+        w_off = int(self.rng.integers(0, w_off_max + 1))
+        h_off = int(self.rng.integers(0, h_off_max + 1))
+        A = T.crop(A, h_off, w_off, opt.fineSize_h, opt.fineSize_w)
+        B = T.crop(B, h_off, w_off, opt.fineSize_h, opt.fineSize_w)
+
+        A = T.normalize(A)
+        B = T.normalize(B)
+
+        input_nc = opt.output_nc if opt.which_direction == "BtoA" else opt.input_nc
+        output_nc = opt.input_nc if opt.which_direction == "BtoA" else opt.output_nc
+
+        if (not opt.no_flip) and self.rng.random() < 0.5:
+            A = T.hflip(A)
+            B = T.hflip(B)
+        if input_nc == 1:
+            A = T.rgb_to_gray(A)
+        if output_nc == 1:
+            B = T.rgb_to_gray(B)
+
+        return {
+            "A": np.ascontiguousarray(A),
+            "B": np.ascontiguousarray(B),
+            "A_paths": A_path,
+            "B_paths": B_path,
+        }
+
+    def __len__(self):
+        return len(self.A_paths)
+
+    def name(self):
+        return "AlignedDataset"
+
+
+class UnalignedDataset:
+    """Reference unaligned_dataset.py: separate phase+'A' / phase+'B' dirs,
+    random B pairing unless --serial_batches."""
+
+    def initialize(self, opt, rng=None):
+        self.opt = opt
+        self.dir_A = os.path.join(opt.dataroot, opt.phase + "A")
+        self.dir_B = os.path.join(opt.dataroot, opt.phase + "B")
+        self.A_paths = list_images(self.dir_A)
+        self.B_paths = list_images(self.dir_B)
+        self.A_size = len(self.A_paths)
+        self.B_size = len(self.B_paths)
+        self.rng = rng or np.random.default_rng(getattr(opt, "seed", 20))
+        self.transform = T.get_transform(opt, self.rng)
+
+    def __getitem__(self, index):
+        A_path = self.A_paths[index % self.A_size]
+        if self.opt.serial_batches:
+            index_B = index % self.B_size
+        else:
+            index_B = int(self.rng.integers(0, self.B_size))
+        B_path = self.B_paths[index_B]
+        A = self.transform(_open_rgb(A_path))
+        B = self.transform(_open_rgb(B_path))
+        if self.opt.which_direction == "BtoA":
+            input_nc, output_nc = self.opt.output_nc, self.opt.input_nc
+        else:
+            input_nc, output_nc = self.opt.input_nc, self.opt.output_nc
+        if input_nc == 1:
+            A = T.rgb_to_gray(A)
+        if output_nc == 1:
+            B = T.rgb_to_gray(B)
+        return {
+            "A": np.ascontiguousarray(A),
+            "B": np.ascontiguousarray(B),
+            "A_paths": A_path,
+            "B_paths": B_path,
+        }
+
+    def __len__(self):
+        return max(self.A_size, self.B_size)
+
+    def name(self):
+        return "UnalignedDataset"
+
+
+class SingleDataset:
+    """Reference single_dataset.py: A-side only over dataroot."""
+
+    def initialize(self, opt, rng=None):
+        self.opt = opt
+        self.A_paths = list_images(opt.dataroot)
+        self.rng = rng or np.random.default_rng(getattr(opt, "seed", 20))
+        self.transform = T.get_transform(opt, self.rng)
+
+    def __getitem__(self, index):
+        A_path = self.A_paths[index]
+        A = self.transform(_open_rgb(A_path))
+        if self.opt.which_direction == "BtoA":
+            input_nc = self.opt.output_nc
+        else:
+            input_nc = self.opt.input_nc
+        if input_nc == 1:
+            A = T.rgb_to_gray(A)
+        return {"A": np.ascontiguousarray(A), "A_paths": A_path}
+
+    def __len__(self):
+        return len(self.A_paths)
+
+    def name(self):
+        return "SingleDataset"

@@ -1,0 +1,103 @@
+"""Batching + prefetching loader (the TPU-native CustomDatasetDataLoader,
+reference DSGAN/data/__init__.py:31-63).
+
+Decoding runs in a thread pool (PIL releases the GIL for decode), batches
+are assembled as contiguous NHWC float32 arrays, and a small background
+queue keeps the accelerator fed while it trains on the previous batch —
+host preprocessing overlaps device compute, the overlap the reference's
+synchronous metric loop destroyed (SURVEY §3.1).
+
+For maximum throughput ``dsgan_tpu.runtime`` provides a native C++ decode
+path; this Python loader is the portable default and the fallback.
+"""
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+
+def CreateDataset(opt, rng=None):
+    """Dispatch on --dataset_mode (reference data/__init__.py:12-28)."""
+    from dsgan_tpu.data.datasets import AlignedDataset, SingleDataset, UnalignedDataset
+
+    if opt.dataset_mode == "aligned":
+        dataset = AlignedDataset()
+    elif opt.dataset_mode == "unaligned":
+        dataset = UnalignedDataset()
+    elif opt.dataset_mode == "single":
+        dataset = SingleDataset()
+    else:
+        raise ValueError(f"Dataset [{opt.dataset_mode}] not recognized.")
+    dataset.initialize(opt, rng)
+    print(f"dataset [{dataset.name()}] was created")
+    return dataset
+
+
+class CustomDatasetDataLoader:
+    def name(self):
+        return "CustomDatasetDataLoader"
+
+    def initialize(self, opt, phase):
+        self.opt = opt
+        self.phase = phase
+        self.rng = np.random.default_rng(getattr(opt, "seed", 20))
+        self.dataset = CreateDataset(opt, self.rng)
+        self.batch_size = opt.batchSize
+        self.shuffle = phase == "train"
+        self.num_workers = max(1, int(getattr(opt, "nThreads", 4)))
+        self.max_items = int(min(len(self.dataset),
+                                 getattr(opt, "max_dataset_size", float("inf")) or len(self.dataset)))
+        self.drop_last = phase == "train"  # static shapes: no ragged tail batch
+
+    def load_data(self):
+        return self
+
+    def __len__(self):
+        return int(self.max_items)
+
+    def _batches_of_indices(self):
+        n = int(self.max_items)
+        order = np.arange(n)
+        if self.shuffle:
+            self.rng.shuffle(order)
+        bs = self.batch_size
+        end = (n // bs) * bs if self.drop_last else n
+        for i in range(0, end, bs):
+            yield order[i:i + bs]
+        if not self.drop_last and end < n:
+            yield order[end:n]
+
+    def __iter__(self):
+        q = queue.Queue(maxsize=4)
+        sentinel = object()
+
+        def produce():
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                for idx in self._batches_of_indices():
+                    items = list(pool.map(self.dataset.__getitem__, idx.tolist()))
+                    batch = {}
+                    for key in items[0]:
+                        vals = [it[key] for it in items]
+                        if isinstance(vals[0], np.ndarray):
+                            batch[key] = np.stack(vals)
+                        else:
+                            batch[key] = vals
+                    q.put(batch)
+            q.put(sentinel)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+
+
+def CreateDataLoader(opt, phase):
+    data_loader = CustomDatasetDataLoader()
+    print(data_loader.name())
+    data_loader.initialize(opt, phase)
+    return data_loader

@@ -106,17 +106,26 @@ def init_params(module, rng, sample_shape, init_type="normal", train=False):
     Returns the full variables dict (params [+ batch_stats for batch-norm
     recipes]). ``sample_shape`` is the NHWC input shape used for shape
     inference; actual batch size at train time may differ.
+
+    The whole construct+reinit runs as ONE jitted program: per-leaf init
+    as eager ops would mean hundreds of tiny compilations, which is
+    pathological on remote-compile TPU backends.
     """
     import inspect
 
-    dummy = jnp.zeros(sample_shape, jnp.float32)
-    rng_init, rng_reinit, rng_drop = jax.random.split(rng, 3)
-    rngs = {"params": rng_init, "dropout": rng_drop}
-    if "train" in inspect.signature(module.__call__).parameters:
-        variables = module.init(rngs, dummy, train)
-    else:
-        variables = module.init(rngs, dummy)
-    return reinit_params(variables, init_type, rng_reinit)
+    takes_train = "train" in inspect.signature(module.__call__).parameters
+
+    def _build(rng):
+        dummy = jnp.zeros(sample_shape, jnp.float32)
+        rng_init, rng_reinit, rng_drop = jax.random.split(rng, 3)
+        rngs = {"params": rng_init, "dropout": rng_drop}
+        if takes_train:
+            variables = module.init(rngs, dummy, train)
+        else:
+            variables = module.init(rngs, dummy)
+        return reinit_params(variables, init_type, rng_reinit)
+
+    return jax.jit(_build)(rng)
 
 
 def find_model_using_name(model_name):

@@ -38,6 +38,10 @@ def conv2d(x, w, b=None, *, stride=1, padding=0, groups=1, dilation=1):
     padding = _norm_pad(padding)
     if isinstance(dilation, int):
         dilation = (dilation, dilation)
+    # NOTE: no preferred_element_type here — with bf16 operands it breaks
+    # reverse-mode AD (the conv transpose rule would mix an f32 cotangent
+    # with bf16 weights), and the TPU MXU accumulates bf16 convs in f32
+    # regardless.
     y = lax.conv_general_dilated(
         x,
         w,
@@ -46,11 +50,10 @@ def conv2d(x, w, b=None, *, stride=1, padding=0, groups=1, dilation=1):
         rhs_dilation=dilation,
         dimension_numbers=_DIMNUMS,
         feature_group_count=groups,
-        preferred_element_type=jnp.float32,
     )
     if b is not None:
         y = y + b.astype(y.dtype)
-    return y.astype(x.dtype)
+    return y
 
 
 def conv_transpose2d(x, w, b=None, *, stride=2, padding=0, output_padding=0):
@@ -79,11 +82,10 @@ def conv_transpose2d(x, w, b=None, *, stride=2, padding=0, output_padding=0):
         padding=pads,
         lhs_dilation=stride,
         dimension_numbers=_DIMNUMS,
-        preferred_element_type=jnp.float32,
     )
     if b is not None:
         y = y + b.astype(y.dtype)
-    return y.astype(x.dtype)
+    return y
 
 
 def _norm_pad(padding):
@@ -104,10 +106,13 @@ def max_pool2d(x, window=2, stride=None, padding=0):
     if isinstance(stride, int):
         stride = (stride, stride)
     padding = _norm_pad(padding)
+    # NOTE: init must be a scalar literal so XLA pattern-matches this to the
+    # reduce_window_max primitive (which has a VJP); an array init produces
+    # a generic reduce_window that cannot be reverse-differentiated.
     init = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
     return lax.reduce_window(
         x,
-        jnp.asarray(init, x.dtype),
+        init,
         lax.max,
         window_dimensions=(1, *window, 1),
         window_strides=(1, *stride, 1),
@@ -127,12 +132,12 @@ def avg_pool2d(x, window, stride=None, padding=0, count_include_pad=True):
     dims = (1, *window, 1)
     strides = (1, *stride, 1)
     pads = ((0, 0), *padding, (0, 0))
-    summed = lax.reduce_window(x, jnp.asarray(0.0, x.dtype), lax.add, dims, strides, pads)
+    summed = lax.reduce_window(x, 0.0, lax.add, dims, strides, pads)
     if count_include_pad:
         count = window[0] * window[1]
         return summed / count
     ones = jnp.ones((1, x.shape[1], x.shape[2], 1), x.dtype)
-    count = lax.reduce_window(ones, jnp.asarray(0.0, x.dtype), lax.add, dims, strides, pads)
+    count = lax.reduce_window(ones, 0.0, lax.add, dims, strides, pads)
     return summed / count
 
 

@@ -1,0 +1,15 @@
+from dsgan_tpu.parallel.mesh import (
+    get_mesh,
+    shard_batch,
+    replicate,
+    make_parallel_step,
+    batch_sharding,
+)
+
+__all__ = [
+    "get_mesh",
+    "shard_batch",
+    "replicate",
+    "make_parallel_step",
+    "batch_sharding",
+]

@@ -1,0 +1,82 @@
+"""Evaluation harness — the test driver the reference lost (its train.py
+builds a test loader but the eval call is commented out, reference
+train.py:80-81; no test.py exists). Generator-only inference over the
+test set, per-image + mean SSIM/PSNR/MS-SSIM under the reference protocol,
+result gallery HTML, and a summary CSV.
+
+Usage:  python -m dsgan_tpu.test --dataroot /path --which_epoch N [flags]
+"""
+
+import csv
+import os
+import sys
+
+import numpy as np
+
+from dsgan_tpu.data import CreateDataLoader
+from dsgan_tpu.models import create_model
+from dsgan_tpu.options.test_options import TestOptions
+from dsgan_tpu.utils import html
+from dsgan_tpu.utils.util import tensor2im
+from dsgan_tpu.utils.visualizer import save_images
+from dsgan_tpu import ops
+
+
+def main(argv=None, dataset_path=None, out_path=None):
+    opt = TestOptions().parse(dataset_path, out_path, argv)
+    opt.nThreads = 1
+    opt.serial_batches = True
+    opt.no_flip = True
+
+    data_loader = CreateDataLoader(opt, "test")
+    dataset = data_loader.load_data()
+    model = create_model(opt)
+    model.setup(opt)
+
+    web_dir = os.path.join(opt.results_dir, opt.name, f"{opt.phase}_{opt.which_epoch}")
+    webpage = html.HTML(
+        web_dir, f"Experiment = {opt.name}, Phase = {opt.phase}, Epoch = {opt.which_epoch}"
+    )
+
+    rows = []
+    for i, data in enumerate(dataset):
+        if i >= opt.how_many:
+            break
+        model.set_input(data)
+        model.test()
+        visuals = {
+            "real_A": tensor2im(model.real_A),
+            "fake_B": tensor2im(model.fake_B),
+        }
+        row = {"path": data["A_paths"][0], "index": i}
+        if "B" in data:
+            visuals["real_B"] = tensor2im(model.real_B)
+            row["ssim"] = ops.ssim_ref(visuals["real_B"], visuals["fake_B"])
+            row["psnr"] = ops.psnr_ref(visuals["real_B"], visuals["fake_B"])
+        save_images(webpage, visuals, data["A_paths"], aspect_ratio=opt.aspect_ratio)
+        rows.append(row)
+
+    webpage.save()
+
+    summary_path = os.path.join(web_dir, "metrics.csv")
+    with open(summary_path, "w", newline="") as f:
+        writer = csv.writer(f)
+        writer.writerow(["index", "path", "ssim", "psnr"])
+        for r in rows:
+            writer.writerow([r["index"], r["path"], r.get("ssim", ""), r.get("psnr", "")])
+        if rows and "ssim" in rows[0]:
+            writer.writerow(
+                ["mean", "",
+                 np.mean([r["ssim"] for r in rows if "ssim" in r]),
+                 np.mean([r["psnr"] for r in rows if "psnr" in r])]
+            )
+    print(f"wrote {len(rows)} results to {web_dir}")
+    if rows and "ssim" in rows[0]:
+        print("mean SSIM: %.4f  mean PSNR: %.3f" % (
+            float(np.mean([r["ssim"] for r in rows])),
+            float(np.mean([r["psnr"] for r in rows])),
+        ))
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -1,0 +1,124 @@
+"""Training driver (reference DSGAN/train.py re-designed for TPU).
+
+Same observable behavior: combined train loop with per-iteration SSIM/PSNR
+tracking, triptych PNG dumps and CSV logs every --print_freq iters,
+per-epoch checkpoint + each_epoch.csv, linear LR decay — but all quality
+metrics are computed ON DEVICE inside the fused train step and only
+fetched at print frequency, so the accelerator never stalls per image
+(the reference forces a device->host sync every iteration,
+train.py:110-120).
+
+Usage:  python -m dsgan_tpu.train --dataroot /path/to/data [flags]
+"""
+
+import csv
+import math
+import os
+import sys
+import time
+
+import numpy as np
+
+from dsgan_tpu.data import CreateDataLoader
+from dsgan_tpu.models import create_model
+from dsgan_tpu.options.test_options import TestOptions
+from dsgan_tpu.options.train_options import TrainOptions
+from dsgan_tpu.utils.util import tensor2im
+from dsgan_tpu.utils.visualizer import Visualizer
+
+
+def main(argv=None, dataset_path=None, out_path=None):
+    opt = TrainOptions().parse(dataset_path, out_path, argv)
+    output_freq = opt.print_freq
+
+    result_path = out_path or os.path.join(opt.checkpoints_dir, opt.name)
+    train_img_path = os.path.join(result_path, "train_img")
+    os.makedirs(train_img_path, exist_ok=True)
+
+    data_loader = CreateDataLoader(opt, "train")
+    dataset = data_loader.load_data()
+    dataset_size = len(data_loader)
+    print("#training images = %d" % dataset_size)
+
+    model = create_model(opt)
+    model.setup(opt)
+    visualizer = Visualizer(opt)
+
+    try:
+        from tqdm import tqdm
+    except ImportError:  # tqdm optional
+        tqdm = None
+
+    total_epochs = opt.niter + opt.niter_decay
+    for epoch in range(opt.epoch_count, total_epochs + 1):
+        epoch_start_time = time.time()
+        iter_data_time = time.time()
+        ssim_hist, psnr_hist = [], []
+        epoch_iter = 0
+        t_data = 0.0
+
+        n_batches = math.ceil(dataset_size / opt.batchSize)
+        bar = tqdm(total=n_batches, ascii=True) if tqdm else None
+        if bar:
+            bar.set_description(f"epoch: {epoch}/{total_epochs}")
+
+        last_batch = None
+        for i, data in enumerate(dataset):
+            iter_start_time = time.time()
+            if i % output_freq == 0:
+                t_data = iter_start_time - iter_data_time
+            epoch_iter += opt.batchSize
+            last_batch = data
+
+            model.set_input(data)
+            model.optimize_parameters()
+
+            # device scalars; kept lazy — no host sync here
+            ssim_hist.append(model._metrics["ssim"])
+            psnr_hist.append(model._metrics["psnr"])
+            if bar:
+                bar.update(1)
+
+            if (i + 1) % output_freq == 0:
+                ssim_avg = float(np.mean([np.asarray(s) for s in ssim_hist]))
+                psnr_avg = float(np.mean([np.asarray(p) for p in psnr_hist]))
+                losses = model.get_current_losses()
+                t = (time.time() - iter_start_time) / opt.batchSize
+                visualizer.print_current_losses(
+                    epoch, epoch_iter, losses, t, t_data, ssim_avg, psnr_avg
+                )
+
+                # triptych TIR | fake | GT
+                vis = model.get_current_visuals()
+                trip = np.hstack([vis["real_A"], vis["fake_B"], vis["real_B"]])
+                from PIL import Image
+
+                Image.fromarray(trip).save(
+                    os.path.join(train_img_path, f"train_Re{epoch}_{i + 1}.png")
+                )
+
+                with open(os.path.join(result_path, "result.csv"), "a", newline="") as f:
+                    message = "".join(f"{k}: {v:.3f} " for k, v in losses.items()) + "  "
+                    csv.writer(f).writerow([epoch, message, ssim_avg, psnr_avg])
+
+            iter_data_time = time.time()
+
+        if bar:
+            bar.close()
+
+        ssim_avg = float(np.mean([np.asarray(s) for s in ssim_hist])) if ssim_hist else 0.0
+        psnr_avg = float(np.mean([np.asarray(p) for p in psnr_hist])) if psnr_hist else 0.0
+        with open(os.path.join(result_path, "each_epoch.csv"), "a", newline="") as f:
+            csv.writer(f).writerow([epoch, "train", ssim_avg, psnr_avg])
+
+        print("saving the model at the end of epoch %d" % epoch)
+        model.save_networks(epoch)
+        print(
+            "End of epoch %d / %d \t Time Taken: %d sec"
+            % (epoch, total_epochs, time.time() - epoch_start_time)
+        )
+        model.update_learning_rate()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

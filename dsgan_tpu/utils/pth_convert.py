@@ -1,0 +1,194 @@
+"""PyTorch checkpoint -> flax params converters.
+
+Lets reference-trained DS-GAN weights (.pth state_dicts, reference
+save format base_model.py:92-103) run on TPU for checkpoint-parity
+evaluation, and converts torchvision's vgg16 weights for the perceptual
+loss. torch is imported lazily and ONLY here — the framework itself never
+depends on it; conversion can also consume a pre-dumped .npz.
+
+Layout rules:
+  conv   OIHW  [O,I/g,kh,kw]  -> HWIO [kh,kw,I/g,O]   (transpose 2,3,1,0)
+  convT  IOHW  [I,O,kh,kw]    -> HWIO [kh,kw,I,O]     (transpose 2,3,0,1)
+         (no spatial flip — ops.conv_transpose2d flips internally)
+  linear [O,I]                -> [I,O]                 (transpose)
+  PReLU  weight [1]           -> negative_slope scalar
+"""
+
+import argparse
+
+import numpy as np
+
+
+def _load_state_dict(path):
+    if path.endswith(".npz"):
+        return dict(np.load(path))
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    out = {}
+    for k, v in sd.items():
+        if k.startswith("module."):  # DataParallel prefix
+            k = k[len("module."):]
+        out[k] = v.detach().numpy() if hasattr(v, "detach") else np.asarray(v)
+    return out
+
+
+def _conv(sd, key):
+    return {"kernel": np.ascontiguousarray(sd[key + ".weight"].transpose(2, 3, 1, 0))}
+
+
+def _conv_b(sd, key):
+    out = _conv(sd, key)
+    out["bias"] = sd[key + ".bias"]
+    return out
+
+
+def _convt_b(sd, key):
+    return {
+        "kernel": np.ascontiguousarray(sd[key + ".weight"].transpose(2, 3, 0, 1)),
+        "bias": sd[key + ".bias"],
+    }
+
+
+def _linear(sd, key):
+    return {"kernel": np.ascontiguousarray(sd[key + ".weight"].T), "bias": sd[key + ".bias"]}
+
+
+def _prelu(sd, key):
+    return {"negative_slope": np.asarray(sd[key + ".weight"]).reshape(())}
+
+
+def _block(sd, prefix):
+    """ConvNeXt Block params (reference Block, MixConvNeXtML.py:203-243)."""
+    return {
+        "shortcut": _conv(sd, prefix + ".shortcut"),
+        "dwconv": _conv_b(sd, prefix + ".dwconv"),
+        "pwconv1": _linear(sd, prefix + ".pwconv1"),
+        "pwconv2": _linear(sd, prefix + ".pwconv2"),
+    }
+
+
+def _ca(sd, prefix):
+    return {
+        "fc1": _conv(sd, prefix + ".fc1"),
+        "fc2": _conv(sd, prefix + ".fc2"),
+        "relu1": _prelu(sd, prefix + ".relu1"),
+    }
+
+
+def _midmlka(sd, prefix):
+    return {
+        "X3": _conv_b(sd, prefix + ".X3"),
+        "X5": _conv_b(sd, prefix + ".X5"),
+        "X7": _conv_b(sd, prefix + ".X7"),
+        "X9": _conv_b(sd, prefix + ".X9"),
+        "conv": _conv_b(sd, prefix + ".conv"),
+        "attn": _ca(sd, prefix + ".attn"),
+    }
+
+
+def convert_mixconvnext(path):
+    """Reference MixConvNeXtML state_dict -> flax params for
+    dsgan_tpu.models.mixconvnext.MixConvNeXtML."""
+    sd = _load_state_dict(path)
+    p = {}
+    for i in range(1, 6):
+        p[f"c{i}"] = _block(sd, f"c{i}")
+    for i in range(1, 5):
+        p[f"uc{i}"] = _block(sd, f"uc{i}")
+        p[f"u{i}"] = {"deconv": _convt_b(sd, f"u{i}.model.0")}
+
+    # downSkip families: torch names projections by out_channels/64
+    # (down64.to2..to16 etc.), ours by pool scale.
+    for ours, torch_mod, pairs in (
+        ("down64", "down64", ((2, 2), (4, 4), (8, 8), (16, 16))),
+        ("down128", "down128", ((2, 4), (4, 8), (8, 16))),
+        ("down256", "down256", ((2, 8), (4, 16))),
+        ("down512", "down512", ((2, 16),)),
+    ):
+        for scale, chmul in pairs:
+            p[f"{ours}_to{scale}"] = {"proj": _conv(sd, f"{torch_mod}.to{chmul}.1")}
+
+    local = {
+        "to32": _conv(sd, "local.to32"),
+        "to64": _conv(sd, "local.to64"),
+        "to128": _conv(sd, "local.to128"),
+        "to256": _conv(sd, "local.to256"),
+        "mid32": _midmlka(sd, "local.mid32"),
+        "mid64": _midmlka(sd, "local.mid64"),
+        "mid128": _midmlka(sd, "local.mid128"),
+        "mid256": _midmlka(sd, "local.mid256"),
+        "up1": {"deconv": _convt_b(sd, "local.up1.model.0")},
+        "up2": {"deconv": _convt_b(sd, "local.up2.model.0")},
+        "up3": {"deconv": _convt_b(sd, "local.up3.model.0")},
+        "upc1_proj": _conv(sd, "local.upc1.0"),
+        "upc1": _midmlka(sd, "local.upc1.1"),
+        "upc2": _midmlka(sd, "local.upc2"),
+        "upc3": _midmlka(sd, "local.upc3"),
+        "up4": _convt_b(sd, "local.up4.0"),
+        "shortcut": _conv(sd, "local.shortcut.0"),
+    }
+    p["local"] = local
+    p["res"] = _conv_b(sd, "res")
+    return p
+
+
+def convert_nlayer_discriminator(path, n_layers=3):
+    """Reference NLayerDiscriminator (instance norm) state_dict -> flax
+    params. Sequence indices: conv at 0, then (conv,norm,leaky) triples —
+    with param-free InstanceNorm the convs sit at 0, 2, 5, 8, ..."""
+    sd = _load_state_dict(path)
+    p = {"conv0": _conv_b(sd, "model.0")}
+    idx = 2
+    for n in range(1, n_layers + 1):
+        p[f"conv{n}"] = _conv_b(sd, f"model.{idx}")
+        idx += 3
+    p["conv_out"] = _conv_b(sd, f"model.{idx}")
+    return p
+
+
+def convert_vgg16(pth_path, npz_out):
+    """torchvision vgg16 state_dict -> .npz consumed by
+    dsgan_tpu.models.vgg.load_torchvision_npz."""
+    sd = _load_state_dict(pth_path)
+    keep = {k: v for k, v in sd.items() if k.startswith("features.")}
+    np.savez(npz_out, **keep)
+    return npz_out
+
+
+def save_params_npz(params, path):
+    """Flatten a flax params dict into an npz (slash-joined keys)."""
+    from flax import traverse_util
+
+    flat = {"/".join(k): np.asarray(v) for k, v in traverse_util.flatten_dict(params).items()}
+    np.savez(path, **flat)
+
+
+def load_params_npz(path):
+    from flax import traverse_util
+
+    data = np.load(path)
+    flat = {tuple(k.split("/")): data[k] for k in data.files}
+    return traverse_util.unflatten_dict(flat)
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("kind", choices=["g", "d", "vgg"], help="which network the .pth holds")
+    ap.add_argument("pth", help="input .pth (or pre-dumped .npz) path")
+    ap.add_argument("out", help="output .npz path")
+    ap.add_argument("--n_layers", type=int, default=3)
+    args = ap.parse_args()
+    if args.kind == "vgg":
+        convert_vgg16(args.pth, args.out)
+    elif args.kind == "g":
+        save_params_npz(convert_mixconvnext(args.pth), args.out)
+    else:
+        save_params_npz(convert_nlayer_discriminator(args.pth, args.n_layers), args.out)
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,80 @@
+"""End-to-end CLI smoke tests: train for one tiny epoch, then evaluate —
+the full minimum slice (options -> data -> fused step -> checkpoint ->
+eval harness) through the real entry points."""
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+
+@pytest.fixture()
+def tiny_dataset(tmp_path):
+    rng = np.random.default_rng(0)
+    for phase in ("train_all", "test_all"):
+        d = tmp_path / "data" / phase
+        d.mkdir(parents=True)
+        # half-split pairing: files a_* sort before b_* -> first half = A
+        for i in range(4):
+            arr = rng.integers(0, 255, (32, 32, 3)).astype(np.uint8)
+            Image.fromarray(arr).save(d / f"a_{i}.png")
+        for i in range(4):
+            arr = rng.integers(0, 255, (32, 32, 3)).astype(np.uint8)
+            Image.fromarray(arr).save(d / f"b_{i}.png")
+    return str(tmp_path / "data")
+
+
+COMMON = [
+    "--which_model_netG", "resnet_6blocks", "--ngf", "8", "--ndf", "8",
+    "--loadSize_w", "32", "--loadSize_h", "32",
+    "--fineSize_w", "32", "--fineSize_h", "32",
+    "--batchSize", "2", "--w_vgg", "0",
+    "--dtype", "float32", "--nThreads", "2",
+]
+
+TRAIN_ONLY = ["--pool_size", "4"]
+
+
+def test_train_cli_end_to_end(tiny_dataset, tmp_path):
+    from dsgan_tpu.train import main
+
+    out = str(tmp_path / "out")
+    main(
+        COMMON + TRAIN_ONLY + ["--niter", "1", "--niter_decay", "0", "--print_freq", "2",
+                  "--name", "e2e"],
+        dataset_path=tiny_dataset,
+        out_path=out,
+    )
+    ckpt_dir = os.path.join(out, "checkpoints", "e2e")
+    assert os.path.isdir(os.path.join(ckpt_dir, "epoch_1"))
+    assert os.path.isfile(os.path.join(out, "result.csv"))
+    assert os.path.isfile(os.path.join(out, "each_epoch.csv"))
+    imgs = os.listdir(os.path.join(out, "train_img"))
+    assert imgs, "no triptych dumps written"
+    assert os.path.isfile(os.path.join(ckpt_dir, "opt.txt"))
+
+
+def test_test_cli_after_training(tiny_dataset, tmp_path):
+    from dsgan_tpu.test import main as test_main
+    from dsgan_tpu.train import main as train_main
+
+    out = str(tmp_path / "out")
+    train_main(
+        COMMON + TRAIN_ONLY + ["--niter", "1", "--niter_decay", "0", "--print_freq", "100",
+                  "--name", "e2e"],
+        dataset_path=tiny_dataset,
+        out_path=out,
+    )
+    results = str(tmp_path / "results")
+    test_main(
+        COMMON + ["--name", "e2e", "--which_epoch", "1",
+                  "--results_dir", results, "--how_many", "3"],
+        dataset_path=tiny_dataset,
+        out_path=out,
+    )
+    web_dir = os.path.join(results, "e2e", "test_all/_1")
+    assert os.path.isfile(os.path.join(web_dir, "index.html"))
+    assert os.path.isfile(os.path.join(web_dir, "metrics.csv"))
+    with open(os.path.join(web_dir, "metrics.csv")) as f:
+        lines = f.read().strip().splitlines()
+    assert lines[-1].startswith("mean")

@@ -1,0 +1,105 @@
+"""Multi-chip sharding tests on the 8-device virtual CPU mesh:
+data-parallel equivalence and the driver's dryrun_multichip hook."""
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dsgan_tpu.models import define_D, define_G, init_params
+from dsgan_tpu.models.pix2pix import (
+    Pix2PixConfig,
+    Pix2PixState,
+    make_adam,
+    make_train_step,
+)
+from dsgan_tpu.parallel import get_mesh, make_parallel_step, replicate, shard_batch
+from dsgan_tpu.utils.image_pool import init_pool
+
+
+def _tiny_setup(h=32, w=32, pool=0):
+    g = define_G(3, 3, 8, "resnet_6blocks", dtype=None)
+    d = define_D(6, 8, "basic", dtype=None)
+    kg, kd, ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    params_G = init_params(g, kg, (1, h, w, 3), "normal")["params"]
+    params_D = init_params(d, kd, (1, h, w, 6), "normal")["params"]
+    cfg = Pix2PixConfig(pool_size=pool, use_vgg=False)
+    adam = make_adam(cfg.beta1)
+    pool_images, pool_count = init_pool(max(pool, 0), (h, w, 6), jnp.float32)
+    state = Pix2PixState(
+        params_G=params_G, params_D=params_D,
+        opt_G=adam.init(params_G), opt_D=adam.init(params_D),
+        pool_images=pool_images, pool_count=pool_count,
+        rng=ks, step=jnp.zeros((), jnp.int32),
+    )
+    return g, d, cfg, state
+
+
+def test_mesh_shapes():
+    m = get_mesh(4, 2)
+    assert m.devices.shape == (4, 2)
+    m = get_mesh(0, 2)
+    assert m.devices.shape == (4, 2)  # 8 cpu devices / spatial 2
+
+
+def test_data_parallel_matches_single_device():
+    """The DP-sharded step must produce the same params as single-device
+    (same batch, replicated state) — psum-of-grads == full-batch grads."""
+    h = w = 32
+    g, d, cfg, state = _tiny_setup(h, w, pool=0)
+    rng = np.random.default_rng(0)
+    real_A = rng.uniform(-1, 1, (8, h, w, 3)).astype(np.float32)
+    real_B = rng.uniform(-1, 1, (8, h, w, 3)).astype(np.float32)
+    lr = jnp.float32(1e-3)
+
+    step_fn = make_train_step(g, d, None, None, cfg)
+    sstep = jax.jit(step_fn)
+    mesh = get_mesh(8, 1)
+    pstep = make_parallel_step(step_fn, mesh, donate_state=False)
+
+    # two chained steps each way: a sharding bug would compound into the
+    # second step's losses
+    s1, m1a, _ = sstep(state, jnp.asarray(real_A), jnp.asarray(real_B), lr)
+    s1, m1b, _ = sstep(s1, jnp.asarray(real_A), jnp.asarray(real_B), lr)
+
+    s8 = replicate(state, mesh)
+    ra, rb = shard_batch(real_A, mesh), shard_batch(real_B, mesh)
+    s8, m8a, _ = pstep(s8, ra, rb, lr)
+    s8, m8b, _ = pstep(s8, ra, rb, lr)
+
+    for k in ("loss_G", "loss_D", "loss_G_L1"):
+        np.testing.assert_allclose(float(m1a[k]), float(m8a[k]), rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(float(m1b[k]), float(m8b[k]), rtol=1e-4, atol=1e-5)
+    # Adam normalizes each step to ~lr * sign(grad), so float32
+    # reduction-order noise on near-zero grads can flip individual
+    # elements by O(lr) per step; bound drift by ~4*lr as a sanity backstop
+    # (the loss assertions above are the real equivalence check).
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params_G),
+                    jax.tree_util.tree_leaves(s8.params_G)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0, atol=4e-3)
+
+
+def test_spatial_sharding_compiles_and_runs():
+    """H-sharded convs (XLA halo exchange) over a (2,2) mesh."""
+    h = w = 32
+    g, d, cfg, state = _tiny_setup(h, w, pool=2)
+    mesh = get_mesh(2, 2)
+    step_fn = make_train_step(g, d, None, None, cfg)
+    pstep = make_parallel_step(step_fn, mesh, donate_state=False)
+    rng = np.random.default_rng(1)
+    real_A = shard_batch(rng.uniform(-1, 1, (2, h, w, 3)).astype(np.float32), mesh)
+    real_B = shard_batch(rng.uniform(-1, 1, (2, h, w, 3)).astype(np.float32), mesh)
+    s, m, _ = pstep(replicate(state, mesh), real_A, real_B, jnp.float32(1e-3))
+    assert np.isfinite(float(m["loss_G"]))
+    assert np.isfinite(float(m["loss_D"]))
+
+
+@pytest.mark.slow
+def test_dryrun_multichip_hook():
+    sys.path.insert(0, "/root/repo")
+    try:
+        import __graft_entry__ as ge
+        ge.dryrun_multichip(8)
+    finally:
+        sys.path.pop(0)
