@@ -67,15 +67,18 @@ def main():
     real_B = jnp.asarray(rng.uniform(-1, 1, (batch, size, size, 3)).astype(np.float32))
     lr = jnp.float32(2e-4)
 
-    # warmup / compile
+    # warmup / compile (host fetch forces real completion — plain
+    # block_until_ready returns early through the axon relay)
     for _ in range(3):
         state, metrics, _ = step(state, real_A, real_B, lr)
-    jax.block_until_ready(metrics)
+    float(np.asarray(metrics["loss_G"]))
 
     t0 = time.perf_counter()
     for _ in range(steps):
         state, metrics, _ = step(state, real_A, real_B, lr)
-    jax.block_until_ready(metrics)
+    # steps chain through the donated state, so fetching the last loss
+    # forces completion of the whole timed sequence
+    float(np.asarray(metrics["loss_G"]))
     dt = time.perf_counter() - t0
 
     ips = batch * steps / dt
