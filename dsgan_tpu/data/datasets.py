@@ -70,6 +70,36 @@ class AlignedDataset:
     def name(self):
         return "AlignedDataset"
 
+    def native_batch(self, indices, num_threads=4):
+        """Batch fast path through the C++ runtime (decode+crop+flip+
+        normalize in native threads). Same augmentation distribution as
+        __getitem__; joint offsets/flip per A/B pair. Returns None when
+        the native runtime is unavailable or the recipe needs the
+        Python path (grayscale conversion)."""
+        opt = self.opt
+        input_nc = opt.output_nc if opt.which_direction == "BtoA" else opt.input_nc
+        output_nc = opt.input_nc if opt.which_direction == "BtoA" else opt.output_nc
+        if input_nc == 1 or output_nc == 1:
+            return None
+        from dsgan_tpu import runtime as rt
+
+        if not rt.available():
+            return None
+        n = len(indices)
+        h_max = max(0, opt.loadSize_h - opt.fineSize_h - 1)
+        w_max = max(0, opt.loadSize_w - opt.fineSize_w - 1)
+        oy = self.rng.integers(0, h_max + 1, n)
+        ox = self.rng.integers(0, w_max + 1, n)
+        flips = (
+            (self.rng.random(n) < 0.5).astype(np.int32)
+            if not opt.no_flip else np.zeros(n, np.int32)
+        )
+        a_paths = [self.A_paths[i] for i in indices]
+        b_paths = [self.B_paths[i] for i in indices]
+        a, _ = rt.load_batch(a_paths, oy, ox, flips, opt.fineSize_h, opt.fineSize_w, num_threads)
+        b, _ = rt.load_batch(b_paths, oy, ox, flips, opt.fineSize_h, opt.fineSize_w, num_threads)
+        return {"A": a, "B": b, "A_paths": a_paths, "B_paths": b_paths}
+
 
 class UnalignedDataset:
     """Reference unaligned_dataset.py: separate phase+'A' / phase+'B' dirs,

@@ -73,17 +73,29 @@ class CustomDatasetDataLoader:
         q = queue.Queue(maxsize=4)
         sentinel = object()
 
+        use_native = (
+            getattr(self.opt, "native_loader", "auto") != "off"
+            and hasattr(self.dataset, "native_batch")
+        )
+
         def produce():
+            nonlocal use_native
             with ThreadPoolExecutor(self.num_workers) as pool:
                 for idx in self._batches_of_indices():
-                    items = list(pool.map(self.dataset.__getitem__, idx.tolist()))
-                    batch = {}
-                    for key in items[0]:
-                        vals = [it[key] for it in items]
-                        if isinstance(vals[0], np.ndarray):
-                            batch[key] = np.stack(vals)
-                        else:
-                            batch[key] = vals
+                    batch = None
+                    if use_native:
+                        batch = self.dataset.native_batch(idx.tolist(), self.num_workers)
+                        if batch is None:
+                            use_native = False  # fall back permanently
+                    if batch is None:
+                        items = list(pool.map(self.dataset.__getitem__, idx.tolist()))
+                        batch = {}
+                        for key in items[0]:
+                            vals = [it[key] for it in items]
+                            if isinstance(vals[0], np.ndarray):
+                                batch[key] = np.stack(vals)
+                            else:
+                                batch[key] = vals
                     q.put(batch)
             q.put(sentinel)
 

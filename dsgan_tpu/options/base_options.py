@@ -77,6 +77,8 @@ class BaseOptions:
                             help="path to converted torchvision vgg16 .npz for the perceptual loss "
                                  "(see dsgan_tpu.utils.pth_convert.convert_vgg16)")
         parser.add_argument("--seed", type=int, default=20, help="global RNG seed")
+        parser.add_argument("--native_loader", type=str, default="auto",
+                            help="C++ decode/augment runtime: auto|off")
         parser.add_argument("--data_axis", type=int, default=0,
                             help="data-parallel mesh size; 0 = all visible devices")
         parser.add_argument("--spatial_axis", type=int, default=1,

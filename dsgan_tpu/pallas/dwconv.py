@@ -1,0 +1,118 @@
+"""Fused depthwise 2-D convolution (NHWC, stride 1, SAME padding) as a
+Pallas TPU kernel, with custom VJP.
+
+This is the hot op of both MixConvNeXtML streams (Block's 7x7 dwconv,
+MidMLKA's 3/5/7/9 multi-kernel bank — reference MixConvNeXtML.py:220,94-97).
+XLA's lowering of feature-grouped convs runs at ~1 TF/s on v5e
+(tools/microbench.py); this kernel is a straight VPU stencil:
+
+  grid (B, H/TH); each step DMAs a (TH+2p, W+2p, C) halo window of the
+  pre-padded input from HBM into VMEM, accumulates the k*k shifted
+  products in an f32 VMEM accumulator, adds bias, writes the (TH, W, C)
+  output tile.
+
+Backward: dx is the same stencil with spatially-flipped weights (the
+conv transpose of a stride-1 SAME cross-correlation); dw/db are thin
+XLA reductions (one conv + one sum), negligible next to the stencil.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _pick_th(h):
+    for th in (64, 32, 16, 8, 4, 2, 1):
+        if h % th == 0:
+            return min(th, h)
+    return h
+
+
+def _dwconv_kernel(x_hbm, w_ref, b_ref, o_ref, scratch, acc, sem, *, k, th, w_, c):
+    pad = k // 2
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+
+    cp = pltpu.make_async_copy(
+        x_hbm.at[b, pl.ds(i * th, th + 2 * pad)],
+        scratch,
+        sem,
+    )
+    cp.start()
+    cp.wait()
+
+    acc[...] = jnp.zeros_like(acc)
+    for dy in range(k):
+        for dx in range(k):
+            tap = w_ref[dy, dx, :].astype(jnp.float32)
+            acc[...] += scratch[dy:dy + th, dx:dx + w_, :].astype(jnp.float32) * tap
+    out = acc[...] + b_ref[:].astype(jnp.float32)
+    o_ref[...] = out.astype(o_ref.dtype)
+
+
+def _dwconv_fwd_impl(x, w, b, k, interpret=False):
+    """x: (B,H,W,C); w: (k,k,C); b: (C,). stride 1, SAME."""
+    bs, h, w_, c = x.shape
+    pad = k // 2
+    xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    th = _pick_th(h)
+
+    kern = functools.partial(_dwconv_kernel, k=k, th=th, w_=w_, c=c)
+    return pl.pallas_call(
+        kern,
+        grid=(bs, h // th),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),          # padded input (HBM)
+            pl.BlockSpec(memory_space=pltpu.VMEM),         # weights
+            pl.BlockSpec(memory_space=pltpu.VMEM),         # bias
+        ],
+        out_specs=pl.BlockSpec(
+            (1, th, w_, c), lambda bi, hi: (bi, hi, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((bs, h, w_, c), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((th + 2 * pad, w_ + 2 * pad, c), x.dtype),
+            pltpu.VMEM((1, th, w_, c), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(xp, w, b)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def dwconv2d(x, w, b, k, interpret=False):
+    """Depthwise conv NHWC, stride 1, SAME padding; w (k,k,C), b (C,)."""
+    return _dwconv_fwd_impl(x, w, b, k, interpret)
+
+
+def _fwd(x, w, b, k, interpret):
+    return _dwconv_fwd_impl(x, w, b, k, interpret), (x, w)
+
+
+def _bwd(k, interpret, res, g):
+    x, w = res
+    # dx: stencil with flipped taps
+    w_flip = jnp.flip(w, (0, 1))
+    dx = _dwconv_fwd_impl(g, w_flip, jnp.zeros((w.shape[-1],), w.dtype), k, interpret)
+    # dw[dy,dx,c] = sum_{b,i,j} x_pad[b,i+dy,j+dx,c] * g[b,i,j,c]
+    # computed as k*k shifted elementwise reductions (XLA fuses these).
+    bs, h, w_, c = x.shape
+    pad = k // 2
+    xp = jnp.pad(x.astype(jnp.float32), ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    gf = g.astype(jnp.float32)
+    taps = []
+    for dy in range(k):
+        row = []
+        for dxx in range(k):
+            row.append(jnp.sum(xp[:, dy:dy + h, dxx:dxx + w_, :] * gf, axis=(0, 1, 2)))
+        taps.append(jnp.stack(row))
+    dw = jnp.stack(taps).astype(w.dtype)  # (k, k, C)
+    db = jnp.sum(g.astype(jnp.float32), axis=(0, 1, 2)).astype(w.dtype)
+    return dx, dw, db
+
+
+dwconv2d.defvjp(_fwd, _bwd)
