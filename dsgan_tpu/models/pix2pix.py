@@ -62,6 +62,10 @@ class Pix2PixConfig:
     w_ss: float = 1.25
     use_vgg: bool = True
     beta1: float = 0.5
+    # batch the two D applications (fake/real) into one — valid for
+    # per-sample norms (instance/none); disabled for batch norm where the
+    # combined batch statistics would differ
+    fuse_d_batch: bool = True
 
 
 def make_adam(beta1):
@@ -76,6 +80,14 @@ def _apply_net(net, params, x, train, rng=None):
         kwargs["train"] = train
     rngs = {"dropout": rng} if rng is not None else None
     return net.apply({"params": params}, x, rngs=rngs, **kwargs)
+
+
+def _split_scales(pred, n):
+    """Split a (possibly multiscale-nested) D output batched as [fake;real]."""
+    if isinstance(pred, (list, tuple)):
+        pairs = [_split_scales(p, n) for p in pred]
+        return [p[0] for p in pairs], [p[1] for p in pairs]
+    return pred[:n], pred[n:]
 
 
 def make_train_step(G, D, vgg: Optional[Vgg16Features], vgg_params, cfg: Pix2PixConfig):
@@ -111,8 +123,16 @@ def make_train_step(G, D, vgg: Optional[Vgg16Features], vgg_params, cfg: Pix2Pix
                 )
 
             def d_loss_fn(pd):
-                pred_fake = _apply_net(D, pd, fake_AB, True, r_drop_d)
-                pred_real = _apply_net(D, pd, real_AB, True, r_drop_d)
+                if cfg.fuse_d_batch:
+                    # one D application over [fake; real] — identical math
+                    # with per-sample (instance) norm, better MXU batching
+                    both = _apply_net(
+                        D, pd, jnp.concatenate([fake_AB, real_AB], axis=0), True, r_drop_d
+                    )
+                    pred_fake, pred_real = _split_scales(both, fake_AB.shape[0])
+                else:
+                    pred_fake = _apply_net(D, pd, fake_AB, True, r_drop_d)
+                    pred_real = _apply_net(D, pd, real_AB, True, r_drop_d)
                 loss_fake = ops.gan_loss(pred_fake, False, cfg.gan_mode)
                 loss_real = ops.gan_loss(pred_real, True, cfg.gan_mode)
                 return 0.5 * (loss_fake + loss_real), (loss_fake, loss_real)
@@ -141,8 +161,12 @@ def make_train_step(G, D, vgg: Optional[Vgg16Features], vgg_params, cfg: Pix2Pix
                 loss_gan = jnp.zeros((), jnp.float32)
             loss_l1 = ops.l1_loss(fb, real_B)
             if cfg.use_vgg and vgg is not None:
-                feats_fake = vgg.apply(vgg_params, fb)
-                feats_real = vgg.apply(vgg_params, real_B)
+                # one VGG application over [fake; real]: identical math
+                # (VGG has no cross-batch ops), half the kernel launches
+                feats = vgg.apply(vgg_params, jnp.concatenate([fb, real_B], axis=0))
+                n = fb.shape[0]
+                feats_fake = [f[:n] for f in feats]
+                feats_real = [f[n:] for f in feats]
                 loss_vgg = ops.perceptual_loss(feats_fake, feats_real, num_taps=4)
             else:
                 loss_vgg = jnp.zeros((), jnp.float32)
@@ -260,6 +284,7 @@ class Pix2PixModel(BaseModel):
                 w_ss=float(opt.w_ss),
                 use_vgg=float(opt.w_vgg) != 0.0,
                 beta1=opt.beta1,
+                fuse_d_batch=opt.norm != "batch",
             )
             self.cfg = cfg
             adam = make_adam(cfg.beta1)

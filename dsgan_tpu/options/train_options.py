@@ -42,5 +42,10 @@ class TrainOptions(BaseOptions):
                             help="learning rate policy: lambda|step|plateau")
         parser.add_argument("--lr_decay_iters", type=int, default=50,
                             help="multiply by a gamma every lr_decay_iters iterations")
+        # ---- TPU-native observability
+        parser.add_argument("--profile_dir", type=str, default="",
+                            help="write a jax.profiler trace (TensorBoard format) here")
+        parser.add_argument("--profile_steps", type=str, default="10:13",
+                            help="start:stop step range captured by the profiler")
         self.isTrain = True
         return parser

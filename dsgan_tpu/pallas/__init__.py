@@ -10,15 +10,12 @@ import jax
 
 
 def pallas_enabled():
-    flag = os.environ.get("DSGAN_PALLAS", "auto")
-    if flag == "0":
-        return False
-    if flag == "1":
-        return True
-    try:
-        return jax.default_backend() not in ("cpu",)
-    except Exception:
-        return False
+    """Default OFF: the axon remote-compile path takes ~4-5 minutes per
+    Mosaic kernel and the persistent compilation cache does not capture
+    remote compiles, so a model with ~20 kernel variants would spend an
+    hour compiling. Set DSGAN_PALLAS=1 to opt in (parity is covered by
+    tests/test_pallas.py in interpreter mode)."""
+    return os.environ.get("DSGAN_PALLAS", "0") == "1"
 
 
 from dsgan_tpu.pallas.dwconv import dwconv2d  # noqa: E402

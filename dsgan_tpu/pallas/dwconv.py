@@ -77,7 +77,7 @@ def _dwconv_fwd_impl(x, w, b, k, interpret=False):
         scratch_shapes=[
             pltpu.VMEM((th + 2 * pad, w_ + 2 * pad, c), x.dtype),
             pltpu.VMEM((1, th, w_, c), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
     )(xp, w, b)

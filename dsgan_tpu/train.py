@@ -49,6 +49,15 @@ def main(argv=None, dataset_path=None, out_path=None):
     except ImportError:  # tqdm optional
         tqdm = None
 
+    profile_dir = getattr(opt, "profile_dir", "")
+    if profile_dir:
+        prof_start, prof_stop = (
+            int(v) for v in getattr(opt, "profile_steps", "10:13").split(":")
+        )
+    else:
+        prof_start = prof_stop = -1
+    global_step = 0
+
     total_epochs = opt.niter + opt.niter_decay
     for epoch in range(opt.epoch_count, total_epochs + 1):
         epoch_start_time = time.time()
@@ -70,8 +79,18 @@ def main(argv=None, dataset_path=None, out_path=None):
             epoch_iter += opt.batchSize
             last_batch = data
 
+            if global_step == prof_start:
+                import jax
+
+                jax.profiler.start_trace(profile_dir)
             model.set_input(data)
             model.optimize_parameters()
+            if global_step == prof_stop:
+                import jax
+
+                jax.profiler.stop_trace()
+                print(f"profiler trace written to {profile_dir}")
+            global_step += 1
 
             # device scalars; kept lazy — no host sync here
             ssim_hist.append(model._metrics["ssim"])

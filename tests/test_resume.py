@@ -1,0 +1,52 @@
+"""Resume semantics: --continue_train restores the exact trajectory
+(params, Adam moments, pool, RNG, step counter, LR schedule position) —
+the capability the reference breaks with its save/load filename mismatch
+and unsaved optimizer state (reference base_model.py:95 vs 119, SURVEY §5)."""
+import jax
+import numpy as np
+
+from tests.test_train_step import batch, make_model
+
+
+def test_resume_reproduces_uninterrupted_run(tmp_path):
+    rng = np.random.default_rng(0)
+    batches = [batch(np.random.default_rng(i)) for i in range(6)]
+
+    # uninterrupted: 6 steps
+    m = make_model(tmp_path, name="resume_a")
+    for b in batches:
+        m.set_input(b)
+        m.optimize_parameters()
+    p_ref = [np.asarray(x) for x in jax.tree_util.tree_leaves(m.state.params_G)]
+
+    # interrupted at step 3 + checkpoint + resume in a fresh model
+    m1 = make_model(tmp_path, name="resume_b")
+    for b in batches[:3]:
+        m1.set_input(b)
+        m1.optimize_parameters()
+    m1.save_networks(1)
+
+    m2 = make_model(tmp_path, name="resume_b", continue_train=True, which_epoch="1")
+    m2.setup(m2.opt)
+    assert int(m2.state.step) == 3
+    for b in batches[3:]:
+        m2.set_input(b)
+        m2.optimize_parameters()
+
+    p_resumed = [np.asarray(x) for x in jax.tree_util.tree_leaves(m2.state.params_G)]
+    for a, b_ in zip(p_ref, p_resumed):
+        np.testing.assert_array_equal(a, b_)
+
+
+def test_lr_position_restored(tmp_path):
+    m1 = make_model(tmp_path, name="lr_a")
+    m1.set_input(batch(np.random.default_rng(0)))
+    m1.optimize_parameters()
+    for _ in range(12):  # into the decay region
+        m1.update_learning_rate()
+    lr_before = m1.lr
+    m1.save_networks(12)
+
+    m2 = make_model(tmp_path, name="lr_a", continue_train=True, which_epoch="12")
+    m2.setup(m2.opt)
+    assert abs(m2.lr - lr_before) < 1e-12
