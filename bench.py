@@ -32,7 +32,7 @@ def main():
     from dsgan_tpu.models.vgg import Vgg16Features
     from dsgan_tpu.utils.image_pool import init_pool
 
-    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    batch = int(os.environ.get("BENCH_BATCH", "16"))
     steps = int(os.environ.get("BENCH_STEPS", "20"))
     size = int(os.environ.get("BENCH_SIZE", "256"))
     use_vgg = os.environ.get("BENCH_VGG", "1") == "1"

@@ -91,24 +91,70 @@ class DownProject(nn.Module):
         return gelu(ops.instance_norm(h))
 
 
+class _DWParams(nn.Module):
+    """Parameter holder matching a depthwise Conv's tree (kernel+bias) so
+    the fused multi-kernel bank below keeps checkpoint compatibility with
+    the unfused per-group convs."""
+
+    k: int
+    feats: int
+
+    @nn.compact
+    def __call__(self):
+        from dsgan_tpu.models.layers import normal02, zeros
+
+        kern = self.param("kernel", normal02, (self.k, self.k, 1, self.feats), jnp.float32)
+        bias = self.param("bias", zeros, (self.feats,), jnp.float32)
+        return kern, bias
+
+
 class MidMLKA(nn.Module):
     """Reference MidMLKA (MixConvNeXtML.py:76-117): channel-split into 4
     groups -> depthwise conv k3/5/7/9 -> concat -> 1x1 -> channel-attention
-    gate -> IN -> residual -> GELU."""
+    gate -> IN -> residual -> GELU.
+
+    TPU note (fuse_bank=True, the default): the four per-group convs run
+    on dim/4 channels (as low as 8) — catastrophic lane utilization. They
+    are algebraically one depthwise conv whose per-channel kernel is the
+    group's kernel zero-padded to 9x9, so we run ONE full-width depthwise
+    conv instead; parameters remain per-group (checkpoint-identical)."""
 
     dtype: Any = None
+    fuse_bank: bool = True
 
     @nn.compact
     def __call__(self, x):
         dim = x.shape[-1]
         q = dim // 4
-        xs = jnp.split(x, 4, axis=-1)
-        outs = []
-        for i, k in enumerate((3, 5, 7, 9)):
-            outs.append(
-                Conv(q, k, padding=k // 2, groups=q, dtype=self.dtype, name=f"X{k}")(xs[i])
-            )
-        out = jnp.concatenate(outs, axis=-1)
+        banks = [
+            _DWParams(k, q, name=f"X{k}")() for k in (3, 5, 7, 9)
+        ]
+        if self.fuse_bank:
+            kmax = 9
+            kerns = []
+            biases = []
+            for (kern, bias), k in zip(banks, (3, 5, 7, 9)):
+                p = (kmax - k) // 2
+                kerns.append(jnp.pad(kern, ((p, p), (p, p), (0, 0), (0, 0))))
+                biases.append(bias)
+            wk = jnp.concatenate(kerns, axis=-1).astype(x.dtype)   # (9,9,1,dim)
+            bk = jnp.concatenate(biases).astype(x.dtype)
+            from dsgan_tpu import ops as _ops
+
+            out = _ops.conv2d(x, wk, bk, stride=1, padding=kmax // 2, groups=dim)
+        else:
+            xs = jnp.split(x, 4, axis=-1)
+            outs = []
+            for (kern, bias), k, xi in zip(banks, (3, 5, 7, 9), xs):
+                from dsgan_tpu import ops as _ops
+
+                outs.append(
+                    _ops.conv2d(
+                        xi, kern.astype(xi.dtype), bias.astype(xi.dtype),
+                        stride=1, padding=k // 2, groups=q,
+                    )
+                )
+            out = jnp.concatenate(outs, axis=-1)
         out = Conv(dim, 1, dtype=self.dtype, name="conv")(out)
         out = out * ChannelAttention(dtype=self.dtype, name="attn")(out)
         out = ops.instance_norm(out)

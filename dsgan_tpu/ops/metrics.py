@@ -41,15 +41,13 @@ def psnr_uint8(label, result, data_range=255.0):
 
 
 def _uniform_valid(x, win):
-    """VALID-window uniform filter over H,W per channel. x: NHWC."""
-    c = x.shape[-1]
-    w = jnp.full((win, win, 1, c), 1.0 / (win * win), x.dtype)
-    return lax.conv_general_dilated(
-        x, w, (1, 1), "VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=c,
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
+    """VALID-window uniform filter over H,W per channel (NHWC), as two
+    banded matmuls — 3-channel convs tile catastrophically on TPU (see
+    ops/ssim.py separable_filter_valid)."""
+    from dsgan_tpu.ops.ssim import separable_filter_valid
+
+    w = np.full((win,), 1.0 / win, np.float32)
+    return separable_filter_valid(x, w)
 
 
 def ssim_uint8(label, result, data_range=255.0, win_size=7, k1=0.01, k2=0.03):

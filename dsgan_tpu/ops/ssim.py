@@ -28,14 +28,73 @@ def fspecial_gauss_1d(size, sigma, dtype=jnp.float32):
     return g / jnp.sum(g)
 
 
+def _band_matrix(win_np, size_in):
+    """(out, in) banded matrix B with B[i, i+j] = win[j] — expresses a
+    VALID 1-D correlation as a dense matmul. Built at trace time (static
+    shapes), so it compiles to a constant."""
+    import numpy as np
+
+    k = len(win_np)
+    out = size_in - k + 1
+    band = np.zeros((out, size_in), np.float32)
+    for j in range(k):
+        band[np.arange(out), np.arange(out) + j] = win_np[j]
+    return jnp.asarray(band)
+
+
+def separable_filter_valid(x, win_np):
+    """Separable VALID 1-D filter along H then W as two banded MATMULS.
+
+    TPU rationale: the conv formulation of this filter runs on 3-channel
+    image tensors, which tile as (4,128) lanes — ~2% lane utilization —
+    and profiled at ~12% of the whole train step. As banded dense
+    contractions the MXU does it at full tilt for ~2x the (tiny) FLOPs.
+    Matches the skip-small-dims semantics of the reference gaussian_filter
+    (MS_SSIM.py:44-50).
+    """
+    size = len(win_np)
+    out = x
+    if x.shape[1] >= size:
+        bh = _band_matrix(win_np, x.shape[1]).astype(x.dtype)
+        out = jnp.einsum("oh,nhwc->nowc", bh, out)
+    else:
+        warnings.warn(
+            f"Skipping Gaussian Smoothing at spatial dim 0 for input: {x.shape} and win size: {size}"
+        )
+    if x.shape[2] >= size:
+        bw = _band_matrix(win_np, x.shape[2]).astype(x.dtype)
+        out = jnp.einsum("ow,nhwc->nhoc", bw, out)
+    else:
+        warnings.warn(
+            f"Skipping Gaussian Smoothing at spatial dim 1 for input: {x.shape} and win size: {size}"
+        )
+    return out
+
+
+def _gauss_np(size, sigma):
+    import numpy as np
+
+    coords = np.arange(size, dtype=np.float32) - size // 2
+    g = np.exp(-(coords**2) / (2 * sigma**2))
+    return g / g.sum()
+
+
 def gaussian_filter(x, win):
     """Separable Gaussian blur, VALID padding, per channel. x: NHWC.
 
-    Skips a spatial dim when it is smaller than the window (matching
-    MS_SSIM.py:44-50); with static shapes this is a trace-time decision.
+    ``win`` may be a jnp vector (legacy conv-compatible interface); the
+    implementation routes through the banded-matmul path using its static
+    numpy value when available, else falls back to grouped convs.
     """
-    c = x.shape[-1]
+    import numpy as np
+
     size = win.shape[-1]
+    try:
+        win_np = np.asarray(win)
+        return separable_filter_valid(x, win_np)
+    except Exception:
+        pass
+    c = x.shape[-1]
     win = win.astype(x.dtype)
     out = x
     for axis, s in enumerate(x.shape[1:3]):
@@ -51,7 +110,6 @@ def gaussian_filter(x, win):
                 padding="VALID",
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 feature_group_count=c,
-                preferred_element_type=jnp.float32,
             ).astype(x.dtype)
         else:
             warnings.warn(
@@ -61,21 +119,25 @@ def gaussian_filter(x, win):
     return out
 
 
-def _ssim_maps(x, y, data_range, win, k=(0.01, 0.03)):
-    """Per-channel SSIM and CS means. x, y: NHWC. Returns (N, C) arrays."""
+def _ssim_maps(x, y, data_range, win_np, k=(0.01, 0.03)):
+    """Per-channel SSIM and CS means. x, y: NHWC. Returns (N, C) arrays.
+    ``win_np`` is a static numpy 1-D window (banded-matmul filtering)."""
     k1, k2 = k
     c1 = (k1 * data_range) ** 2
     c2 = (k2 * data_range) ** 2
 
-    mu1 = gaussian_filter(x, win)
-    mu2 = gaussian_filter(y, win)
+    def gaussian_filter(v, _w=None):
+        return separable_filter_valid(v, win_np)
+
+    mu1 = gaussian_filter(x, None)
+    mu2 = gaussian_filter(y, None)
     mu1_sq = mu1 * mu1
     mu2_sq = mu2 * mu2
     mu1_mu2 = mu1 * mu2
 
-    sigma1_sq = gaussian_filter(x * x, win) - mu1_sq
-    sigma2_sq = gaussian_filter(y * y, win) - mu2_sq
-    sigma12 = gaussian_filter(x * y, win) - mu1_mu2
+    sigma1_sq = gaussian_filter(x * x) - mu1_sq
+    sigma2_sq = gaussian_filter(y * y) - mu2_sq
+    sigma12 = gaussian_filter(x * y) - mu1_mu2
 
     cs_map = (2 * sigma12 + c2) / (sigma1_sq + sigma2_sq + c2)
     ssim_map = ((2 * mu1_mu2 + c1) / (mu1_sq + mu2_sq + c1)) * cs_map
@@ -100,8 +162,7 @@ def ssim(
         raise ValueError(f"Input images should have the same dimensions, got {x.shape} vs {y.shape}.")
     if win_size % 2 != 1:
         raise ValueError("Window size should be odd.")
-    win = fspecial_gauss_1d(win_size, win_sigma)
-    ssim_per_channel, _ = _ssim_maps(x, y, data_range, win, k)
+    ssim_per_channel, _ = _ssim_maps(x, y, data_range, _gauss_np(win_size, win_sigma), k)
     if nonnegative_ssim:
         ssim_per_channel = jnp.maximum(ssim_per_channel, 0.0)
     if size_average:
@@ -133,13 +194,13 @@ def ms_ssim(
     if weights is None:
         weights = MS_SSIM_WEIGHTS
     weights = jnp.asarray(weights, x.dtype)
-    win = fspecial_gauss_1d(win_size, win_sigma)
+    win_np = _gauss_np(win_size, win_sigma)
 
     levels = weights.shape[0]
     mcs = []
     ssim_per_channel = None
     for i in range(levels):
-        ssim_per_channel, cs = _ssim_maps(x, y, data_range, win, k)
+        ssim_per_channel, cs = _ssim_maps(x, y, data_range, win_np, k)
         if i < levels - 1:
             mcs.append(jnp.maximum(cs, 0.0))
             pad = tuple(s % 2 for s in x.shape[1:3])
