@@ -76,3 +76,12 @@ def get_transform(opt, rng):
         return normalize(arr)
 
     return apply
+
+
+def joint_random_crop(a, b, crop_h, crop_w, rng):
+    """Joint random crop of a paired (A, B) sample (the working equivalent
+    of the reference's unused TransCrop, aligned_dataset.py:14-25)."""
+    h, w = a.shape[:2]
+    y = int(rng.integers(0, max(h - crop_h, 0) + 1))
+    x = int(rng.integers(0, max(w - crop_w, 0) + 1))
+    return crop(a, y, x, crop_h, crop_w), crop(b, y, x, crop_h, crop_w)

@@ -17,9 +17,20 @@ normal02 = jax.nn.initializers.normal(stddev=0.02)
 zeros = jax.nn.initializers.zeros
 
 
+_GELU_APPROX = False
+
+
+def set_gelu_mode(approximate: bool):
+    """Global GELU mode: exact erf (torch nn.GELU parity, default) or the
+    tanh approximation (faster on TPU — erf upcasts big bf16 activations).
+    Set via --gelu tanh; affects newly traced programs only."""
+    global _GELU_APPROX
+    _GELU_APPROX = bool(approximate)
+
+
 def gelu(x):
-    """Exact (erf) GELU — torch nn.GELU default."""
-    return jax.nn.gelu(x, approximate=False)
+    """GELU — exact (erf) by default, matching torch nn.GELU."""
+    return jax.nn.gelu(x, approximate=_GELU_APPROX)
 
 
 def leaky_relu(x, negative_slope=0.2):
@@ -109,9 +120,12 @@ def PReLU(init: float = 0.25, name: Optional[str] = None) -> nn.PReLU:
 class Norm(nn.Module):
     """Dispatch on the reference's --norm flag: instance | batch | none.
 
-    'instance' is parameter-free (affine=False, the reference default);
-    'batch' is affine with running stats (torch momentum 0.1 == flax
-    momentum 0.9), controlled by the ``train`` call arg.
+    'instance' is parameter-free (affine=False, the reference default for
+    every shipped recipe). 'batch' uses batch statistics with a learnable
+    affine — i.e. torch BatchNorm2d train-mode semantics; running-average
+    eval statistics are intentionally NOT tracked (keeps the whole train
+    step a single pure program; deviation documented, eval normalizes
+    with batch stats like train mode).
     """
 
     kind: str = "instance"
@@ -121,13 +135,14 @@ class Norm(nn.Module):
         if self.kind == "instance":
             return ops.instance_norm(x)
         if self.kind == "batch":
-            return nn.BatchNorm(
-                use_running_average=not train,
-                momentum=0.9,
-                epsilon=1e-5,
-                dtype=x.dtype,
-                param_dtype=jnp.float32,
-            )(x)
+            c = x.shape[-1]
+            scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+            bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=(0, 1, 2), keepdims=True)
+            var = jnp.mean(jnp.square(xf - mean), axis=(0, 1, 2), keepdims=True)
+            y = (xf - mean) * jax.lax.rsqrt(var + 1e-5) * scale + bias
+            return y.astype(x.dtype)
         if self.kind == "none":
             return x
         raise NotImplementedError(f"normalization layer [{self.kind}] is not found")

@@ -79,6 +79,8 @@ class BaseOptions:
         parser.add_argument("--seed", type=int, default=20, help="global RNG seed")
         parser.add_argument("--native_loader", type=str, default="auto",
                             help="C++ decode/augment runtime: auto|off")
+        parser.add_argument("--gelu", type=str, default="exact",
+                            help="GELU flavor [exact|tanh]; exact matches torch nn.GELU")
         parser.add_argument("--data_axis", type=int, default=0,
                             help="data-parallel mesh size; 0 = all visible devices")
         parser.add_argument("--spatial_axis", type=int, default=1,
@@ -125,6 +127,10 @@ class BaseOptions:
     def parse(self, dataset_path=None, path=None, argv=None):
         opt = self.gather_options(argv)
         opt.isTrain = self.isTrain
+        if getattr(opt, "gelu", "exact") == "tanh":
+            from dsgan_tpu.models.layers import set_gelu_mode
+
+            set_gelu_mode(True)
         if path is not None:
             opt.checkpoints_dir = os.path.join(path, "checkpoints")
         if dataset_path is not None:

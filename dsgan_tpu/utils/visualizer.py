@@ -81,3 +81,22 @@ class Visualizer:
         print(message)
         with open(self.log_name, "a") as log_file:
             log_file.write(f"{message}\n")
+
+
+def save_images2(webpage, visuals, image_path, aspect_ratio=1.0):
+    """Input/output/target trio writer variant (reference
+    visualizer.py:46-65 save_images2): one row per sample with
+    input_/output_/target_ name prefixes."""
+    image_dir = webpage.get_image_dir()
+    short_path = os.path.basename(image_path[0] if isinstance(image_path, list) else image_path)
+    name = os.path.splitext(short_path)[0]
+    webpage.add_header(name)
+    ims, txts, links = [], [], []
+    prefix = {"real_A": "input", "fake_B": "output", "real_B": "target"}
+    for label, im in visuals.items():
+        image_name = f"{prefix.get(label, label)}_{name}.png"
+        util.save_image(im, os.path.join(image_dir, image_name))
+        ims.append(image_name)
+        txts.append(prefix.get(label, label))
+        links.append(image_name)
+    webpage.add_images(ims, txts, links)

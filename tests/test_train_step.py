@@ -155,3 +155,14 @@ def test_lr_schedule_matches_reference_lambda(tmp_path):
     np.testing.assert_allclose(got, want, rtol=1e-12)
     # the lr used for the final (20th) epoch decays to exactly 0
     assert abs(got[19]) < 1e-12
+
+
+def test_batch_norm_recipe_trains(tmp_path):
+    """--norm batch path: learnable-affine batch-stat normalization inside
+    the fused step (torch train-mode semantics; no running stats)."""
+    m = make_model(tmp_path, norm="batch")
+    b = batch(np.random.default_rng(3))
+    m.set_input(b)
+    m.optimize_parameters()
+    losses = m.get_current_losses()
+    assert all(np.isfinite(v) for v in losses.values())
