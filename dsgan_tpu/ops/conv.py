@@ -98,7 +98,12 @@ def _norm_pad(padding):
 
 
 def max_pool2d(x, window=2, stride=None, padding=0):
-    """torch-style MaxPool2d on NHWC."""
+    """torch-style MaxPool2d on NHWC.
+
+    NOTE: reshape-max and mask-multiply-backward variants were benchmarked
+    for the non-overlapping case and both LOST to XLA's reduce_window +
+    select-and-scatter on v5e (92.2 -> 88.7 / 81.8 img/s full-step); keep
+    the straightforward lowering."""
     if stride is None:
         stride = window
     if isinstance(window, int):
