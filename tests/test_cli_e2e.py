@@ -78,3 +78,36 @@ def test_test_cli_after_training(tiny_dataset, tmp_path):
     with open(os.path.join(web_dir, "metrics.csv")) as f:
         lines = f.read().strip().splitlines()
     assert lines[-1].startswith("mean")
+
+
+def test_cyclegan_cli_end_to_end(tmp_path):
+    """CycleGAN through the real CLI: unaligned phaseA/phaseB dirs."""
+    import numpy as np
+    from PIL import Image
+
+    from dsgan_tpu.train import main
+
+    rng = np.random.default_rng(0)
+    for side in ("A", "B"):
+        d = tmp_path / "data" / ("train_all" + side)
+        d.mkdir(parents=True)
+        for i in range(4):
+            arr = rng.integers(0, 255, (32, 32, 3)).astype(np.uint8)
+            Image.fromarray(arr).save(d / f"x_{i}.png")
+
+    out = str(tmp_path / "out")
+    main(
+        ["--model", "cycle_gan", "--dataset_mode", "unaligned",
+         "--phase", "train_all",
+         "--which_model_netG", "resnet_6blocks", "--ngf", "8", "--ndf", "8",
+         "--loadSize_w", "32", "--loadSize_h", "32",
+         "--fineSize_w", "32", "--fineSize_h", "32",
+         "--batchSize", "2", "--pool_size", "2", "--dtype", "float32",
+         "--niter", "1", "--niter_decay", "0", "--print_freq", "2",
+         "--nThreads", "1", "--name", "cyc_e2e"],
+        dataset_path=str(tmp_path / "data"),
+        out_path=out,
+    )
+    import os
+
+    assert os.path.isdir(os.path.join(out, "checkpoints", "cyc_e2e", "epoch_1"))

@@ -166,3 +166,33 @@ def test_batch_norm_recipe_trains(tmp_path):
     m.optimize_parameters()
     losses = m.get_current_losses()
     assert all(np.isfinite(v) for v in losses.values())
+
+
+def test_multiscale_discriminator_recipe_trains(tmp_path):
+    """--which_model_netD multi: list-structured D outputs through the
+    fused step (GANLoss_multi semantics) incl. pool + batched D call."""
+    m = make_model(tmp_path, which_model_netD="multi")
+    b = batch(np.random.default_rng(4))
+    m.set_input(b)
+    m.optimize_parameters()
+    losses = m.get_current_losses()
+    assert all(np.isfinite(v) for v in losses.values())
+
+
+def test_lsgan_variant_trains(tmp_path):
+    """--no_lsgan: sigmoid D + MSE criterion (reference's inverted flag
+    semantics, pix2pix_model.py:112-114)."""
+    m = make_model(tmp_path, no_lsgan=True)
+    b = batch(np.random.default_rng(5))
+    m.set_input(b)
+    m.optimize_parameters()
+    assert all(np.isfinite(v) for v in m.get_current_losses().values())
+
+
+def test_unconditional_d_recipe_trains(tmp_path):
+    """--use_condition 0: D sees only the B-domain image."""
+    m = make_model(tmp_path, use_condition=0)
+    b = batch(np.random.default_rng(6))
+    m.set_input(b)
+    m.optimize_parameters()
+    assert all(np.isfinite(v) for v in m.get_current_losses().values())
