@@ -53,6 +53,15 @@ def main(argv=None, dataset_path=None, out_path=None):
             visuals["real_B"] = tensor2im(model.real_B)
             row["ssim"] = ops.ssim_ref(visuals["real_B"], visuals["fake_B"])
             row["psnr"] = ops.psnr_ref(visuals["real_B"], visuals["fake_B"])
+            h, w = visuals["real_B"].shape[:2]
+            if min(h, w) > 160:  # ms-ssim needs > (win-1)*16 pixels
+                import jax.numpy as jnp
+
+                row["ms_ssim"] = float(ops.ms_ssim(
+                    jnp.asarray(visuals["real_B"][None].astype("float32")),
+                    jnp.asarray(visuals["fake_B"][None].astype("float32")),
+                    data_range=255,
+                ))
         save_images(webpage, visuals, data["A_paths"], aspect_ratio=opt.aspect_ratio)
         rows.append(row)
 
@@ -61,9 +70,10 @@ def main(argv=None, dataset_path=None, out_path=None):
     summary_path = os.path.join(web_dir, "metrics.csv")
     with open(summary_path, "w", newline="") as f:
         writer = csv.writer(f)
-        writer.writerow(["index", "path", "ssim", "psnr"])
+        writer.writerow(["index", "path", "ssim", "psnr", "ms_ssim"])
         for r in rows:
-            writer.writerow([r["index"], r["path"], r.get("ssim", ""), r.get("psnr", "")])
+            writer.writerow([r["index"], r["path"], r.get("ssim", ""),
+                             r.get("psnr", ""), r.get("ms_ssim", "")])
         if rows and "ssim" in rows[0]:
             writer.writerow(
                 ["mean", "",
