@@ -3,6 +3,7 @@ from dsgan_tpu.parallel.mesh import (
     shard_batch,
     replicate,
     make_parallel_step,
+    make_parallel_infer,
     batch_sharding,
 )
 
@@ -11,5 +12,6 @@ __all__ = [
     "shard_batch",
     "replicate",
     "make_parallel_step",
+    "make_parallel_infer",
     "batch_sharding",
 ]

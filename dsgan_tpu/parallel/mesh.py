@@ -54,6 +54,17 @@ def shard_batch(batch, mesh):
     return jax.device_put(batch, batch_sharding(mesh))
 
 
+def make_parallel_infer(apply_fn, mesh):
+    """jit a generator forward over the mesh for large-resolution
+    inference: params replicated, NHWC input/output sharded N x H.
+    XLA inserts halo exchanges for the conv windows on the spatial axis —
+    this is how 512^2+/video frames exceed single-chip HBM (SURVEY §5's
+    long-context analog)."""
+    repl = NamedSharding(mesh, P())
+    data = batch_sharding(mesh)
+    return jax.jit(apply_fn, in_shardings=(repl, data), out_shardings=data)
+
+
 def make_parallel_step(step_fn, mesh, donate_state=True):
     """jit the fused train step over the mesh.
 

@@ -111,3 +111,30 @@ def test_cyclegan_cli_end_to_end(tmp_path):
     import os
 
     assert os.path.isdir(os.path.join(out, "checkpoints", "cyc_e2e", "epoch_1"))
+
+
+def test_testmodel_single_dataset_cli(tiny_dataset, tmp_path):
+    """--model test: inference-only TestModel over a single-image dataset
+    (reference test_model.py semantics)."""
+    import os
+
+    from dsgan_tpu.test import main as test_main
+    from dsgan_tpu.train import main as train_main
+
+    out = str(tmp_path / "out")
+    train_main(
+        COMMON + TRAIN_ONLY + ["--niter", "1", "--niter_decay", "0",
+                  "--print_freq", "100", "--name", "tm"],
+        dataset_path=tiny_dataset,
+        out_path=out,
+    )
+    results = str(tmp_path / "results")
+    test_main(
+        COMMON + ["--model", "test", "--dataset_mode", "single",
+                  "--name", "tm", "--which_epoch", "1",
+                  "--results_dir", results, "--how_many", "2"],
+        dataset_path=os.path.join(tiny_dataset, "test_all"),
+        out_path=out,
+    )
+    web_dir = os.path.join(results, "tm", "test_all/_1")
+    assert os.path.isfile(os.path.join(web_dir, "index.html"))

@@ -103,3 +103,19 @@ def test_dryrun_multichip_hook():
         ge.dryrun_multichip(8)
     finally:
         sys.path.pop(0)
+
+
+def test_spatial_sharded_inference_mixconvnext():
+    """512^2-class inference pattern at test scale: MixConvNeXtML forward
+    with batch+height sharding over a (2,4) mesh."""
+    from dsgan_tpu.parallel import make_parallel_infer
+
+    g = define_G(3, 3, 32, "MixConvNeXtML", dtype=None)
+    params = init_params(g, jax.random.PRNGKey(0), (1, 64, 64, 3), "normal")["params"]
+    mesh = get_mesh(2, 4)
+    infer = make_parallel_infer(lambda p, x: g.apply({"params": p}, x), mesh)
+    x = np.random.default_rng(0).uniform(-1, 1, (2, 64, 64, 3)).astype(np.float32)
+    y_ref = g.apply({"params": params}, jnp.asarray(x))
+    y = infer(replicate(params, mesh), shard_batch(x, mesh))
+    assert y.shape == (2, 64, 64, 3)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), rtol=2e-3, atol=2e-4)
