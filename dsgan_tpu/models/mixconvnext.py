@@ -199,19 +199,23 @@ class MixConvNeXtML(nn.Module):
     """
 
     dtype: Any = jnp.bfloat16
+    remat: bool = False  # rematerialize Blocks: trades ~1 extra forward
+    #                      of each Block for most of the G residual memory
+    #                      (enables larger batches / 512^2-class inputs)
 
     @nn.compact
     def __call__(self, x):
         in_dtype = x.dtype
         x = x.astype(self.dtype or x.dtype)
         dt = self.dtype
+        Block = nn.remat(ConvNeXtBlock) if self.remat else ConvNeXtBlock
 
         # -- global stream encoder
-        r1 = ConvNeXtBlock(64, dtype=dt, name="c1")(x)
-        r2 = ConvNeXtBlock(128, dtype=dt, name="c2")(ops.max_pool2d(r1, 2))
-        r3 = ConvNeXtBlock(256, dtype=dt, name="c3")(ops.max_pool2d(r2, 2))
-        r4 = ConvNeXtBlock(512, dtype=dt, name="c4")(ops.max_pool2d(r3, 2))
-        r5 = ConvNeXtBlock(1024, dtype=dt, name="c5")(ops.max_pool2d(r4, 2))
+        r1 = Block(64, dtype=dt, name="c1")(x)
+        r2 = Block(128, dtype=dt, name="c2")(ops.max_pool2d(r1, 2))
+        r3 = Block(256, dtype=dt, name="c3")(ops.max_pool2d(r2, 2))
+        r4 = Block(512, dtype=dt, name="c4")(ops.max_pool2d(r3, 2))
+        r5 = Block(1024, dtype=dt, name="c5")(ops.max_pool2d(r4, 2))
 
         # -- dense cross-scale skips: project every encoder level to every
         # deeper decoder input resolution/width and sum (downSkip family).
@@ -230,16 +234,16 @@ class MixConvNeXtML(nn.Module):
         d512 = [DownProject(1024, 2, dtype=dt, name="down512_to2")(r4)]
 
         # -- decoder with skip concat + ConvNeXt fusion
-        o1 = ConvNeXtBlock(512, dtype=dt, name="uc1")(
+        o1 = Block(512, dtype=dt, name="uc1")(
             UpBlock(512, dtype=dt, name="u1")(r5 + d64[3] + d128[2] + d256[1] + d512[0], r4)
         )
-        o2 = ConvNeXtBlock(256, dtype=dt, name="uc2")(
+        o2 = Block(256, dtype=dt, name="uc2")(
             UpBlock(256, dtype=dt, name="u2")(o1 + d64[2] + d128[1] + d256[0], r3)
         )
-        o3 = ConvNeXtBlock(128, dtype=dt, name="uc3")(
+        o3 = Block(128, dtype=dt, name="uc3")(
             UpBlock(128, dtype=dt, name="u3")(o2 + d64[1] + d128[0], r2)
         )
-        o4 = ConvNeXtBlock(64, dtype=dt, name="uc4")(
+        o4 = Block(64, dtype=dt, name="uc4")(
             UpBlock(64, dtype=dt, name="u4")(o3 + d64[0], r1)
         )
 

@@ -239,6 +239,7 @@ class Pix2PixModel(BaseModel):
         self.netG = registry.define_G(
             opt.input_nc, opt.output_nc, opt.ngf, opt.which_model_netG,
             opt.norm, not opt.no_dropout, dtype=dtype,
+            remat=getattr(opt, "remat", False),
         )
         rng = jax.random.PRNGKey(getattr(opt, "seed", 20))
         rng, kg, kd, kv, kstate = jax.random.split(rng, 5)

@@ -31,8 +31,10 @@ from dsgan_tpu.ops.initializers import make_initializer
 
 
 def define_G(input_nc, output_nc, ngf, which_model_netG, norm="instance",
-             use_dropout=False, dtype=jnp.bfloat16):
-    """Generator factory (reference networks.py:81-113)."""
+             use_dropout=False, dtype=jnp.bfloat16, remat=False):
+    """Generator factory (reference networks.py:81-113). ``remat``
+    enables activation rematerialization on the flagship generator's
+    Blocks (memory-for-FLOPs for large batch/resolution)."""
     if which_model_netG == "resnet_9blocks":
         return ResnetGenerator(output_nc, ngf, 9, norm, use_dropout, dtype=dtype)
     if which_model_netG == "resnet_6blocks":
@@ -46,7 +48,7 @@ def define_G(input_nc, output_nc, ngf, which_model_netG, norm="instance",
     if which_model_netG == "cascaded":
         return CascadedGenerator(output_nc, ngf, dtype=dtype)
     if which_model_netG == "MixConvNeXtML":
-        return MixConvNeXtML(dtype=dtype)
+        return MixConvNeXtML(dtype=dtype, remat=remat)
     raise NotImplementedError(
         f"Generator model name [{which_model_netG}] is not recognized"
     )

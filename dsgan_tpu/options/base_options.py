@@ -79,6 +79,9 @@ class BaseOptions:
         parser.add_argument("--seed", type=int, default=20, help="global RNG seed")
         parser.add_argument("--native_loader", type=str, default="auto",
                             help="C++ decode/augment runtime: auto|off")
+        parser.add_argument("--remat", action="store_true",
+                            help="rematerialize generator blocks (memory for FLOPs; "
+                                 "enables larger batch / 512^2-class inputs)")
         parser.add_argument("--gelu", type=str, default="exact",
                             help="GELU flavor [exact|tanh]; exact matches torch nn.GELU")
         parser.add_argument("--data_axis", type=int, default=0,
