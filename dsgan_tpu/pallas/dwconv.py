@@ -16,11 +16,11 @@ conv transpose of a stride-1 SAME cross-correlation); dw/db are thin
 XLA reductions (one conv + one sum), negligible next to the stencil.
 
 Status (validated on the real v5e chip): bit-exact vs the XLA lowering
-(maxdiff 0.0 at k=7,C=64,256^2 bf16) but 3x slower in this v1
-(10.2 ms vs 3.4 ms at batch 8) — the DMA is sequential (start->wait per
-grid step, no double buffering) and tiles are VMEM-conservative. Gated
-off by default (see pallas/__init__.py for the compile-cost rationale);
-optimization path in ROADMAP.md.
+(maxdiff 0.0 at k=7,C=64,256^2 bf16). v2 (double-buffered halo DMA +
+SSA-register accumulation) runs 9.0 ms vs XLA's 2.4 ms at batch 8 — the
+49 sublane-shifted tap reads dominate; a lane-packed multi-row layout is
+the next step (ROADMAP.md). Gated off by default (see pallas/__init__.py
+for the remote-compile-cost rationale).
 """
 
 import functools
@@ -40,35 +40,57 @@ def _pick_th(h, w_, w_total, c_total, pad, itemsize=2, budget=12 * 1024 * 1024):
         if h % th != 0:
             continue
         vmem = (
-            (th + 2 * pad) * w_total * c_total * itemsize   # halo scratch
-            + th * w_ * c_total * 4                          # f32 acc
-            + 2 * th * w_ * c_total * itemsize               # out (dbl-buf)
+            2 * (th + 2 * pad) * w_total * c_total * itemsize  # halo scratch x2
+            + th * w_ * c_total * 4                             # acc spill headroom
+            + 2 * th * w_ * c_total * itemsize                  # out (dbl-buf)
         )
         if vmem <= budget:
             return min(th, h)
     return 1
 
 
-def _dwconv_kernel(x_hbm, w_ref, b_ref, o_ref, scratch, acc, sem, *, k, th, w_, c, w_total):
+def _dwconv_kernel(x_hbm, w_ref, b_ref, o_ref, scratch, sem, *, k, th, w_, c, w_total, n_h):
+    """Grid (B, H/th). Double-buffered halo DMA; the 49-tap accumulation
+    stays in SSA values so Mosaic register-allocates it instead of
+    round-tripping a VMEM accumulator per tap."""
     pad = k // 2
     b = pl.program_id(0)
     i = pl.program_id(1)
+    nb = pl.num_programs(0)
+    step = b * n_h + i
 
-    cp = pltpu.make_async_copy(
-        x_hbm.at[b, pl.ds(i * th, th + 2 * pad)],
-        scratch,
-        sem,
-    )
-    cp.start()
-    cp.wait()
+    def dma(slot, bb, ii):
+        return pltpu.make_async_copy(
+            x_hbm.at[bb, pl.ds(ii * th, th + 2 * pad)],
+            scratch.at[slot],
+            sem.at[slot],
+        )
 
-    acc[...] = jnp.zeros_like(acc)
+    cur = step % 2
+    nxt = (step + 1) % 2
+
+    @pl.when(step == 0)
+    def _():
+        dma(cur, b, i).start()
+
+    # prefetch the next tile while we compute this one
+    nxt_step = step + 1
+    nxt_b = nxt_step // n_h
+    nxt_i = nxt_step % n_h
+
+    @pl.when(nxt_step < nb * n_h)
+    def _():
+        dma(nxt, nxt_b, nxt_i).start()
+
+    dma(cur, b, i).wait()
+
+    acc = jnp.zeros((th, w_, c), jnp.float32)
     for dy in range(k):
         for dx in range(k):
             tap = w_ref[dy, dx, :].astype(jnp.float32)
-            acc[...] += scratch[dy:dy + th, dx:dx + w_, :].astype(jnp.float32) * tap
-    out = acc[...] + b_ref[:].astype(jnp.float32)
-    o_ref[...] = out.astype(o_ref.dtype)
+            acc += scratch[cur, dy:dy + th, dx:dx + w_, :].astype(jnp.float32) * tap
+    out = acc + b_ref[:].astype(jnp.float32)
+    o_ref[...] = out.astype(o_ref.dtype)[None]
 
 
 def _dwconv_fwd_impl(x, w, b, k, interpret=False):
@@ -88,7 +110,7 @@ def _dwconv_fwd_impl(x, w, b, k, interpret=False):
     th = _pick_th(h, w_, w_total, c_total, pad, x.dtype.itemsize)
 
     kern = functools.partial(
-        _dwconv_kernel, k=k, th=th, w_=w_, c=c_total, w_total=w_total
+        _dwconv_kernel, k=k, th=th, w_=w_, c=c_total, w_total=w_total, n_h=h // th
     )
     out = pl.pallas_call(
         kern,
@@ -103,9 +125,8 @@ def _dwconv_fwd_impl(x, w, b, k, interpret=False):
         ),
         out_shape=jax.ShapeDtypeStruct((bs, h, w_, c_total), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((th + 2 * pad, w_total, c_total), x.dtype),
-            pltpu.VMEM((1, th, w_, c_total), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, th + 2 * pad, w_total, c_total), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(xp, w, b)
