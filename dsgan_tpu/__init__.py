@@ -17,4 +17,29 @@ Design notes (TPU-first, not a port):
     TPU kernels with XLA fallbacks in dsgan_tpu.pallas.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
+
+
+def _enable_compilation_cache():
+    """Persistent XLA compilation cache (validated working through the axon
+    TPU relay: 83s cold / 0.27s warm for a toy jit). Critical here because
+    remote TPU compiles cost minutes for the fused 256^2 train step and
+    ~5 min per Pallas/Mosaic kernel. Opt out with DSGAN_NO_CACHE=1;
+    relocate with DSGAN_CACHE_DIR."""
+    import os
+
+    if os.environ.get("DSGAN_NO_CACHE") == "1":
+        return
+    cache_dir = os.environ.get(
+        "DSGAN_CACHE_DIR", os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+    )
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", os.path.abspath(cache_dir))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - cache is an optimization only
+        pass
+
+
+_enable_compilation_cache()

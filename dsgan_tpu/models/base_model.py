@@ -35,6 +35,10 @@ class BaseModel:
         self._metrics = {}
         self._last_epoch = 0  # LambdaLR last_epoch counter
         self.lr = getattr(opt, "lr", 0.0)
+        # plateau-policy state (torch ReduceLROnPlateau semantics)
+        self._plateau_best = float("inf")
+        self._plateau_bad = 0
+        self._plateau_scale = 1.0
 
     # -- lifecycle ---------------------------------------------------------
     def setup(self, opt):
@@ -69,12 +73,38 @@ class BaseModel:
         elif policy == "step":
             decays = self._last_epoch // self.opt.lr_decay_iters
             self.lr = self.opt.lr * (0.1**decays)
+        elif policy == "plateau":
+            self.lr = self.opt.lr * self._plateau_scale
         else:
             raise NotImplementedError(f"learning rate policy [{policy}] is not implemented")
 
-    def update_learning_rate(self):
-        """Step all schedulers at the end of an epoch (base_model.py:68-72)."""
+    def _plateau_step(self, metric):
+        """torch ReduceLROnPlateau with the reference's hyperparameters
+        (networks.py:42-44: mode='min', factor=0.2, threshold=0.01,
+        patience=5; rel threshold mode): lr *= 0.2 once the metric fails
+        to improve past best*(1-0.01) for more than 5 consecutive epochs."""
+        if metric is None:
+            # no metric supplied: fall back to the last generator loss —
+            # the reference's epoch loop never passes one either
+            metric = self.get_current_metrics().get("loss_G", None)
+        if metric is None:
+            return
+        metric = float(metric)
+        if metric < self._plateau_best * (1.0 - 0.01):
+            self._plateau_best = metric
+            self._plateau_bad = 0
+        else:
+            self._plateau_bad += 1
+        if self._plateau_bad > 5:
+            self._plateau_scale *= 0.2
+            self._plateau_bad = 0
+
+    def update_learning_rate(self, metric=None):
+        """Step all schedulers at the end of an epoch (base_model.py:68-72).
+        ``metric`` feeds the plateau policy (ignored by lambda/step)."""
         self._last_epoch += 1
+        if getattr(self.opt, "lr_policy", "lambda") == "plateau":
+            self._plateau_step(metric)
         self._set_lr_from_schedule()
         print("learning rate = %.7f" % self.lr)
 

@@ -273,6 +273,25 @@ class Pix2PixModel(BaseModel):
                 self.vgg_params = load_torchvision_npz(vgg_weights)
             else:
                 self.vgg_params = self.vgg.init(kv, jnp.zeros((1, 64, 64, 3)))
+                if float(opt.w_vgg) != 0.0:
+                    import warnings
+
+                    warnings.warn(
+                        "--vgg_weights not given: the perceptual loss is running on "
+                        "RANDOM-INIT VGG16 features, which is a materially different "
+                        "objective from the reference's pretrained-torchvision loss "
+                        "(DSGAN/models/vgg.py:5-28). For reference-parity training, "
+                        "convert the torchvision weights once:\n"
+                        "  python -c \"import torchvision, torch; "
+                        "torch.save(torchvision.models.vgg16(weights='IMAGENET1K_V1')"
+                        ".state_dict(), 'vgg16.pth')\"  (on any machine with "
+                        "torchvision)\n"
+                        "  python -m dsgan_tpu.utils.pth_convert vgg vgg16.pth "
+                        "vgg16.npz\n"
+                        "then pass --vgg_weights vgg16.npz  (or silence this with "
+                        "--w_vgg 0).",
+                        stacklevel=2,
+                    )
 
             cfg = Pix2PixConfig(
                 gan_mode=gan_mode,

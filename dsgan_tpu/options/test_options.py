@@ -1,4 +1,7 @@
-"""Test flags (reference DSGAN/options/test_options.py)."""
+"""Evaluation flags. Names/defaults track the reference
+(DSGAN/options/test_options.py); the reference ships no working eval
+script, so these feed this framework's own harness (dsgan_tpu/test.py).
+"""
 
 from dsgan_tpu.options.base_options import BaseOptions
 
@@ -6,13 +9,17 @@ from dsgan_tpu.options.base_options import BaseOptions
 class TestOptions(BaseOptions):
     def initialize(self, parser):
         parser = BaseOptions.initialize(self, parser)
-        parser.add_argument("--ntest", type=float, default=float("inf"), help="# of test examples.")
-        parser.add_argument("--results_dir", type=str, default="./results/", help="saves results here.")
+        parser.add_argument("--ntest", type=float, default=float("inf"),
+                            help="cap on evaluated examples")
+        parser.add_argument("--results_dir", type=str, default="./results/",
+                            help="directory receiving rendered outputs + metrics CSV")
         parser.add_argument("--aspect_ratio", type=float, default=1.0,
-                            help="aspect ratio of result images")
-        parser.add_argument("--phase", type=str, default="test_all/", help="train, val, test, etc")
+                            help="height rescale applied to saved result images")
+        parser.add_argument("--phase", type=str, default="test_all/",
+                            help="dataset phase subfolder to evaluate")
         parser.add_argument("--which_epoch", type=str, default="1",
-                            help="which epoch to load? set to latest to use latest cached model")
-        parser.add_argument("--how_many", type=int, default=1000, help="how many test images to run")
+                            help="checkpoint epoch to evaluate ('latest' picks the newest)")
+        parser.add_argument("--how_many", type=int, default=1000,
+                            help="number of images to run through the generator")
         self.isTrain = False
         return parser

@@ -1,5 +1,8 @@
-"""Training flags (reference DSGAN/options/train_options.py, same
-names/defaults: 21-epoch recipe, Adam lr=2e-4 beta1=0.5, pool 50)."""
+"""Training flags. Names/defaults track the reference
+(DSGAN/options/train_options.py — the 21-epoch recipe: niter=10 +
+niter_decay=10 linear decay, Adam lr=2e-4 beta1=0.5, replay pool 50);
+help text and the profiler flags are this framework's own.
+"""
 
 from dsgan_tpu.options.base_options import BaseOptions
 
@@ -8,40 +11,45 @@ class TrainOptions(BaseOptions):
     def initialize(self, parser):
         parser = BaseOptions.initialize(self, parser)
         parser.add_argument("--display_freq", type=int, default=100,
-                            help="frequency of showing training results on screen")
+                            help="steps between preview-image refreshes")
         parser.add_argument("--display_ncols", type=int, default=4,
-                            help="images per row in the web panel")
+                            help="preview panel column count")
         parser.add_argument("--update_html_freq", type=int, default=1000,
-                            help="frequency of saving training results to html")
+                            help="steps between HTML gallery snapshots")
         parser.add_argument("--print_freq", type=int, default=100,
-                            help="frequency of showing training results on console")
+                            help="steps between console loss lines (also the metric "
+                                 "fetch cadence — metrics stay on-device in between)")
         parser.add_argument("--save_latest_freq", type=int, default=5000,
-                            help="frequency of saving the latest results")
+                            help="steps between 'latest' checkpoint refreshes")
         parser.add_argument("--save_epoch_freq", type=int, default=50,
-                            help="frequency of saving checkpoints at the end of epochs")
+                            help="epochs between numbered checkpoint saves")
         parser.add_argument("--continue_train", action="store_true", default=False,
-                            help="continue training: load the latest model")
+                            help="resume from the --which_epoch checkpoint (exact resume: "
+                                 "optimizer moments, replay pool, RNG and step all restore)")
         parser.add_argument("--epoch_count", type=int, default=1,
-                            help="the starting epoch count")
-        parser.add_argument("--phase", type=str, default="train_all/", help="train, val, test, etc")
+                            help="epoch numbering starts here (feeds the LR schedule)")
+        parser.add_argument("--phase", type=str, default="train_all/",
+                            help="dataset phase subfolder to train on")
         parser.add_argument("--which_epoch", type=str, default="1",
-                            help="which epoch to load? set to latest to use latest cached model")
+                            help="checkpoint epoch to resume from ('latest' picks the newest)")
         parser.add_argument("--niter", type=int, default=10,
-                            help="# of iter at starting learning rate")
+                            help="epochs at the full learning rate")
         parser.add_argument("--niter_decay", type=int, default=10,
-                            help="# of iter to linearly decay learning rate to zero")
-        parser.add_argument("--beta1", type=float, default=0.5, help="momentum term of adam")
-        parser.add_argument("--lr", type=float, default=0.0002, help="initial learning rate for adam")
+                            help="epochs over which the rate decays linearly to zero")
+        parser.add_argument("--beta1", type=float, default=0.5, help="Adam first-moment decay")
+        parser.add_argument("--lr", type=float, default=0.0002, help="Adam learning rate")
         parser.add_argument("--no_lsgan", action="store_true",
-                            help="do *not* use least square GAN, if false, use vanilla GAN")
+                            help="flip the GAN criterion selection; mirrors the reference's "
+                                 "inverted wiring (GANLoss(use_lsgan=no_lsgan)): default off = "
+                                 "BCE-with-logits, passing it = sigmoid D + MSE loss")
         parser.add_argument("--pool_size", type=int, default=50,
-                            help="the size of image buffer that stores previously generated images")
+                            help="discriminator replay-pool capacity (0 disables)")
         parser.add_argument("--no_html", action="store_true",
-                            help="do not save intermediate training results to web/")
+                            help="skip writing the HTML result gallery")
         parser.add_argument("--lr_policy", type=str, default="lambda",
-                            help="learning rate policy: lambda|step|plateau")
+                            help="schedule: lambda (linear decay) | step | plateau")
         parser.add_argument("--lr_decay_iters", type=int, default=50,
-                            help="multiply by a gamma every lr_decay_iters iterations")
+                            help="step policy: epochs per 0.1x decay")
         # ---- TPU-native observability
         parser.add_argument("--profile_dir", type=str, default="",
                             help="write a jax.profiler trace (TensorBoard format) here")

@@ -6,6 +6,7 @@ from dsgan_tpu.parallel.mesh import (
     make_parallel_infer,
     batch_sharding,
 )
+from dsgan_tpu.parallel import multihost
 
 __all__ = [
     "get_mesh",
@@ -14,4 +15,5 @@ __all__ = [
     "make_parallel_step",
     "make_parallel_infer",
     "batch_sharding",
+    "multihost",
 ]

@@ -75,17 +75,23 @@ def main(argv=None, dataset_path=None, out_path=None):
             writer.writerow([r["index"], r["path"], r.get("ssim", ""),
                              r.get("psnr", ""), r.get("ms_ssim", "")])
         if rows and "ssim" in rows[0]:
+            ms_vals = [r["ms_ssim"] for r in rows if "ms_ssim" in r]
             writer.writerow(
                 ["mean", "",
                  np.mean([r["ssim"] for r in rows if "ssim" in r]),
-                 np.mean([r["psnr"] for r in rows if "psnr" in r])]
+                 np.mean([r["psnr"] for r in rows if "psnr" in r]),
+                 np.mean(ms_vals) if ms_vals else ""]
             )
     print(f"wrote {len(rows)} results to {web_dir}")
     if rows and "ssim" in rows[0]:
-        print("mean SSIM: %.4f  mean PSNR: %.3f" % (
+        line = "mean SSIM: %.4f  mean PSNR: %.3f" % (
             float(np.mean([r["ssim"] for r in rows])),
             float(np.mean([r["psnr"] for r in rows])),
-        ))
+        )
+        ms_vals = [r["ms_ssim"] for r in rows if "ms_ssim" in r]
+        if ms_vals:
+            line += "  mean MS-SSIM: %.4f" % float(np.mean(ms_vals))
+        print(line)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,80 @@
+"""Multi-host initialization wiring (--num_hosts -> jax.distributed).
+
+A real pod slice isn't available, so the test fakes the coordination env
+vars and intercepts jax.distributed.initialize, asserting the wiring
+passes exactly what a pod launch needs. (The in-slice mesh logic is
+covered on the virtual 8-device CPU mesh in test_parallel.py.)
+"""
+
+import jax
+import pytest
+
+from dsgan_tpu.parallel import multihost
+
+
+@pytest.fixture(autouse=True)
+def _reset_state():
+    multihost._initialized = False
+    yield
+    multihost._initialized = False
+
+
+def test_single_host_is_noop(monkeypatch):
+    called = {}
+    monkeypatch.setattr(
+        jax.distributed, "initialize", lambda **kw: called.update(kw)
+    )
+    assert multihost.initialize(1) is False
+    assert called == {}
+
+
+def test_env_var_wiring(monkeypatch):
+    called = {}
+    monkeypatch.setattr(
+        jax.distributed, "initialize", lambda **kw: called.update(kw)
+    )
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "10.0.0.2:8476")
+    monkeypatch.setenv("JAX_PROCESS_ID", "3")
+    assert multihost.initialize(4) is True
+    assert called == {
+        "num_processes": 4,
+        "coordinator_address": "10.0.0.2:8476",
+        "process_id": 3,
+    }
+    # idempotent: second call must not re-initialize
+    called.clear()
+    assert multihost.initialize(4) is True
+    assert called == {}
+
+
+def test_autodetect_passes_only_count(monkeypatch):
+    called = {}
+    monkeypatch.setattr(
+        jax.distributed, "initialize", lambda **kw: called.update(kw)
+    )
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    monkeypatch.delenv("JAX_PROCESS_ID", raising=False)
+    multihost.initialize(8)
+    assert called == {"num_processes": 8}
+
+
+def test_cli_flag_triggers_initialize(monkeypatch):
+    called = {}
+    monkeypatch.setattr(
+        jax.distributed, "initialize", lambda **kw: called.update(kw)
+    )
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "coord:1234")
+    monkeypatch.setenv("JAX_PROCESS_ID", "0")
+    from dsgan_tpu.options.train_options import TrainOptions
+
+    TrainOptions().parse(argv=[
+        "--num_hosts", "2", "--name", "mh",
+        "--checkpoints_dir", "/tmp/dsgan_mhtest",
+    ])
+    assert called.get("num_processes") == 2
+
+
+def test_primary_helpers():
+    assert multihost.process_index() == 0
+    assert multihost.process_count() == 1
+    assert multihost.is_primary()
