@@ -51,7 +51,7 @@ def main():
     params_G = init_params(g, kg, (1, size, size, 3), "normal")["params"]
     params_D = init_params(d, kd, (1, size, size, 6), "normal")["params"]
 
-    vgg = Vgg16Features(dtype=jnp.bfloat16) if use_vgg else None
+    vgg = Vgg16Features(dtype=jnp.bfloat16, num_taps=4) if use_vgg else None
     vgg_params = vgg.init(kv, jnp.zeros((1, 64, 64, 3))) if use_vgg else None
 
     cfg = Pix2PixConfig(pool_size=50, use_vgg=use_vgg)

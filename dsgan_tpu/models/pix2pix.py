@@ -149,6 +149,16 @@ def make_train_step(G, D, vgg: Optional[Vgg16Features], vgg_params, cfg: Pix2Pix
             metrics.update(loss_D=zero, loss_D_fake=zero, loss_D_real=zero)
 
         # ---- G update against the updated D (reference backward_G ordering)
+        # VGG features of the TARGET are a constant of the G update: compute
+        # them outside the value_and_grad closure so the backward pass only
+        # traverses the fake branch (a 2x cut of the VGG backward; the
+        # fused-[fake;real] single application would drag the whole 2B batch
+        # through conv transposes and pool select-and-scatters).
+        if cfg.use_vgg and vgg is not None:
+            feats_real_const = [
+                jax.lax.stop_gradient(f) for f in vgg.apply(vgg_params, real_B)
+            ]
+
         def g_loss_from_fake(fb):
             aux = {}
             if cfg.use_gan:
@@ -161,13 +171,8 @@ def make_train_step(G, D, vgg: Optional[Vgg16Features], vgg_params, cfg: Pix2Pix
                 loss_gan = jnp.zeros((), jnp.float32)
             loss_l1 = ops.l1_loss(fb, real_B)
             if cfg.use_vgg and vgg is not None:
-                # one VGG application over [fake; real]: identical math
-                # (VGG has no cross-batch ops), half the kernel launches
-                feats = vgg.apply(vgg_params, jnp.concatenate([fb, real_B], axis=0))
-                n = fb.shape[0]
-                feats_fake = [f[:n] for f in feats]
-                feats_real = [f[n:] for f in feats]
-                loss_vgg = ops.perceptual_loss(feats_fake, feats_real, num_taps=4)
+                feats_fake = vgg.apply(vgg_params, fb)
+                loss_vgg = ops.perceptual_loss(feats_fake, feats_real_const, num_taps=4)
             else:
                 loss_vgg = jnp.zeros((), jnp.float32)
             loss_tv = ops.tv_loss(fb)
@@ -267,7 +272,7 @@ class Pix2PixModel(BaseModel):
             # sigmoid in D and selects MSE -> lsgan on probabilities.
             gan_mode = "lsgan" if opt.no_lsgan else "vanilla"
 
-            self.vgg = Vgg16Features(dtype=dtype)
+            self.vgg = Vgg16Features(dtype=dtype, num_taps=4)
             vgg_weights = getattr(opt, "vgg_weights", "")
             if vgg_weights:
                 self.vgg_params = load_torchvision_npz(vgg_weights)

@@ -32,9 +32,16 @@ VGG16_CONVS = [
     (512, 24), (512, 26), (512, 28),   # relu5_3 tap after idx 29
 ]
 class Vgg16Features(nn.Module):
-    """Five-tap VGG16 feature pyramid. NHWC in, list of NHWC features out."""
+    """Five-tap VGG16 feature pyramid. NHWC in, list of NHWC features out.
+
+    ``num_taps`` truncates the tower: the pix2pix perceptual loss consumes
+    only relu1_2..relu4_3 (reference pix2pix_model.py:182-186), so the
+    training path builds with num_taps=4 and never computes the three
+    block-5 convs whose tap would be discarded.
+    """
 
     dtype: Any = jnp.bfloat16
+    num_taps: int = 5
 
     @nn.compact
     def __call__(self, x):
@@ -47,6 +54,8 @@ class Vgg16Features(nn.Module):
             h = nn.relu(h)
             if i in block_end:
                 taps.append(h.astype(in_dtype))
+                if len(taps) == self.num_taps:
+                    break
                 if i != 12:
                     h = ops.max_pool2d(h, 2)
         return taps

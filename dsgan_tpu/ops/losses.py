@@ -63,8 +63,16 @@ def tv_loss(x, divisor=320 * 256):
 
 
 def perceptual_loss(feats_fake, feats_real, num_taps=4):
-    """Sum of L1 over the first ``num_taps`` VGG feature levels."""
-    return sum(l1_loss(feats_fake[i], feats_real[i]) for i in range(num_taps))
+    """Sum of L1 over the first ``num_taps`` VGG feature levels.
+
+    The elementwise |a-b| stays in the feature dtype (bf16 on TPU) so the
+    backward cotangent chain through the VGG convs is not forced to f32;
+    only the mean-reduction accumulates in f32."""
+    total = 0.0
+    for i in range(num_taps):
+        diff = jnp.abs(feats_fake[i] - feats_real[i].astype(feats_fake[i].dtype))
+        total = total + jnp.mean(diff.astype(jnp.float32))
+    return total
 
 
 def ssim_loss(real, fake):

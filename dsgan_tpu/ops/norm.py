@@ -17,8 +17,14 @@ def instance_norm(x, eps=1e-5, weight=None, bias=None):
     result is cast back to the input dtype.
     """
     xf = x.astype(jnp.float32)
+    # single-pass stats: E[x^2] - E[x]^2 lets XLA fuse both reductions into
+    # ONE read of x (the two-pass (x-mean)^2 form forces a second sweep).
+    # f32 accumulation over <=65k roughly-centered activations keeps the
+    # cancellation error far below the bf16 activations' own resolution
+    # (torch-parity pinned by tests/test_ops_conv.py::test_instance_norm*).
     mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
-    var = jnp.mean(jnp.square(xf - mean), axis=(1, 2), keepdims=True)
+    mean_sq = jnp.mean(jnp.square(xf), axis=(1, 2), keepdims=True)
+    var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
     y = (xf - mean) * jnp.reciprocal(jnp.sqrt(var + eps))
     if weight is not None:
         y = y * weight

@@ -62,7 +62,7 @@ def main():
     kg, kd, kv, ks = jax.random.split(jax.random.PRNGKey(0), 4)
     params_G = init_params(g, kg, (1, SIZE, SIZE, 3), "normal")["params"]
     params_D = init_params(d, kd, (1, SIZE, SIZE, 6), "normal")["params"]
-    vgg = Vgg16Features(dtype=jnp.bfloat16)
+    vgg = Vgg16Features(dtype=jnp.bfloat16, num_taps=4)
     vgg_params = vgg.init(kv, jnp.zeros((1, 64, 64, 3)))
 
     rng = np.random.default_rng(0)
