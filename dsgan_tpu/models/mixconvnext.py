@@ -139,6 +139,13 @@ class MidMLKA(nn.Module):
                 biases.append(bias)
             wk = jnp.concatenate(kerns, axis=-1).astype(x.dtype)   # (9,9,1,dim)
             bk = jnp.concatenate(biases).astype(x.dtype)
+            # Materialize the assembled kernel before the conv: without this
+            # barrier XLA fuses the pad+concat INTO the convolution and its
+            # lowering falls off the fast depthwise path (measured 6.5 ms vs
+            # 1.14 ms for the identical conv at 128ch/128^2/b16 on v5e).
+            import jax as _jax
+
+            wk, bk = _jax.lax.optimization_barrier((wk, bk))
             from dsgan_tpu import ops as _ops
 
             out = _ops.conv2d(x, wk, bk, stride=1, padding=kmax // 2, groups=dim)

@@ -1,0 +1,322 @@
+"""Fused ConvNeXt-Block core (InstanceNorm-apply -> MLP -> +shortcut) as a
+Pallas TPU kernel pair with a custom VJP.
+
+The reference Block body (MixConvNeXtML.py:230-243) after its depthwise
+conv is, per pixel row r of an NHWC feature map flattened to (M, C):
+
+    out[r] = gelu((h[r] - mean)*rsig @ W1 + b1) @ W2 + b2  +  x[r] @ Ws
+
+XLA materializes the normalized tensor, the 4C-wide hidden, the GELU
+output, and the shortcut in HBM — ~6 full-tensor round trips; at the
+decoder's 256^2 blocks the hidden alone is 0.5 GB/step. The profiled
+train step is HBM-bandwidth-bound (92 GB accessed / 153 ms at batch 16 =
+~70% of v5e's 819 GB/s), so these round trips ARE the step time; the MXU
+sits at ~15%. This kernel keeps everything per row-tile in VMEM:
+
+  forward:  grid (B, M/TM); per step DMA h,x tiles in, compute the
+            normalize+MLP+shortcut chain on-core, DMA the out tile back.
+            HBM traffic: read h,x once, write out once.
+  backward: same grid; recomputes the hidden from h (cheap on the idle
+            MXU), produces dn (norm-output cotangent), dx, and
+            accumulates dW1/db1/dW2/db2/dWs in persistent f32 VMEM
+            blocks across the sequential TPU grid, plus the per-(b,c)
+            sums S1=sum(dn), S2=sum(dn*(h-mean)) that the caller folds
+            into the InstanceNorm-statistics cotangents.
+
+The custom_vjp boundary is the norm-apply+MLP only: `mean`/`rsig` are
+ordinary differentiable inputs, so XLA's autodiff of the (cheap) stats
+reductions composes with the kernel's S1/S2 instead of this file
+re-deriving the full InstanceNorm backward.
+
+GELU is the tanh approximation computed on the bf16 hidden — identical
+flavor to the framework's bf16 training configuration (models/layers.py
+set_gelu_mode); the XLA fallback path stays in ConvNeXtBlock for f32 /
+exact-GELU runs (torch golden parity uses that path).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_SQRT_2_OVER_PI = 0.7978845608028654
+_GELU_C = 0.044715
+
+
+def _fwd_vmem(tm, c, h4, p, hc):
+    return (
+        2 * (2 * tm * c * 2)          # h, x tiles (double-buffered)
+        + 2 * (tm * p * 2)            # out tile
+        + (c * h4 + h4 + h4 * p + p + c * p) * 2  # weights bf16
+        + 2 * c * 4 * 2               # stats rows
+        + tm * hc * 4 * 2             # hidden chunk f32 + gelu temp
+        + tm * p * 4                  # accumulator
+        + tm * c * 4                  # normalized tile
+    )
+
+
+def _bwd_vmem(tm, c, h4, p, hc):
+    return (
+        2 * (2 * tm * c * 2 + tm * p * 2)   # h, x, g tiles
+        + 2 * (2 * tm * c * 2)              # dn, dx tiles
+        + (c * h4 + h4 * p + c * p + h4) * 4  # persistent f32 param grads
+        + (h4 + p + 4 * c) * 4              # db1, db2, s1, s2
+        + (c * h4 + h4 + h4 * p + c * p) * 2  # weights bf16
+        + tm * hc * 4 * 4                   # h1/tanh/da/dg1 chunks f32
+        + tm * c * 4 * 2                    # dn acc + (h-mean)
+    )
+
+
+def _pick_tm(m_per_image, est, budget=11 * 1024 * 1024):
+    for tm in (2048, 1024, 512, 256, 128):
+        if m_per_image % tm != 0:
+            continue
+        if est(tm) <= budget:
+            return tm
+    return None
+
+
+def fits(b, hw, c, h4, p):
+    """Static gate: True if both kernels fit VMEM at some tile size."""
+    hc = min(h4, 1024)
+    tf = _pick_tm(hw, lambda tm: _fwd_vmem(tm, c, h4, p, hc))
+    tb = _pick_tm(hw, lambda tm: _bwd_vmem(tm, c, h4, p, hc))
+    return tf is not None and tb is not None
+
+
+def _fwd_kernel(mean_ref, rsig_ref, h_ref, x_ref, w1_ref, b1_ref, w2_ref,
+                b2_ref, ws_ref, o_ref, *, hc):
+    mean = mean_ref[0, 0, :]
+    rsig = rsig_ref[0, 0, :]
+    a = ((h_ref[0].astype(jnp.float32) - mean) * rsig).astype(h_ref.dtype)
+    acc = jnp.dot(x_ref[0], ws_ref[...], preferred_element_type=jnp.float32)
+    acc = acc + b2_ref[0, :].astype(jnp.float32)
+    h4 = w1_ref.shape[1]
+    for i in range(h4 // hc):
+        sl = slice(i * hc, (i + 1) * hc)
+        h1 = jnp.dot(a, w1_ref[:, sl], preferred_element_type=jnp.float32)
+        h1 = h1 + b1_ref[0, sl].astype(jnp.float32)
+        hb = h1.astype(h_ref.dtype)
+        g = jax.nn.gelu(hb, approximate=True)
+        acc = acc + jnp.dot(g, w2_ref[sl, :], preferred_element_type=jnp.float32)
+    o_ref[0] = acc.astype(o_ref.dtype)
+
+
+def _bwd_kernel(mean_ref, rsig_ref, h_ref, x_ref, g_ref, w1_ref, b1_ref,
+                w2_ref, ws_ref,
+                dn_ref, dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, dws_ref,
+                s1_ref, s2_ref, *, hc):
+    bi = pl.program_id(0)
+    ti = pl.program_id(1)
+    first = jnp.logical_and(bi == 0, ti == 0)
+
+    @pl.when(first)
+    def _():
+        dw1_ref[...] = jnp.zeros_like(dw1_ref)
+        db1_ref[...] = jnp.zeros_like(db1_ref)
+        dw2_ref[...] = jnp.zeros_like(dw2_ref)
+        db2_ref[...] = jnp.zeros_like(db2_ref)
+        dws_ref[...] = jnp.zeros_like(dws_ref)
+
+    @pl.when(ti == 0)
+    def _():
+        s1_ref[...] = jnp.zeros_like(s1_ref)
+        s2_ref[...] = jnp.zeros_like(s2_ref)
+
+    mean = mean_ref[0, 0, :]
+    rsig = rsig_ref[0, 0, :]
+    hm = h_ref[0].astype(jnp.float32) - mean          # (TM, C) f32
+    a = (hm * rsig).astype(h_ref.dtype)               # normalized, bf16
+    g = g_ref[0]                                      # (TM, P) cotangent
+
+    # shortcut branch
+    dx_ref[0] = jax.lax.dot_general(
+        g, ws_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dx_ref.dtype)
+    dws_ref[...] += jax.lax.dot_general(
+        x_ref[0], g, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    db2_ref[...] += jnp.sum(g.astype(jnp.float32), axis=0, keepdims=True)
+
+    h4 = w1_ref.shape[1]
+    dn = jnp.zeros(hm.shape, jnp.float32)
+    for i in range(h4 // hc):
+        sl = slice(i * hc, (i + 1) * hc)
+        h1 = jnp.dot(a, w1_ref[:, sl], preferred_element_type=jnp.float32)
+        h1 = h1 + b1_ref[0, sl].astype(jnp.float32)
+        # gelu(tanh) forward (on bf16, matching _fwd_kernel) + analytic grad
+        hb = h1.astype(h_ref.dtype)
+        ag = jax.nn.gelu(hb, approximate=True)
+        u = _SQRT_2_OVER_PI * (h1 + _GELU_C * h1 * h1 * h1)
+        th = jnp.tanh(u)
+        dgelu = 0.5 * (1.0 + th) + 0.5 * h1 * (1.0 - th * th) * (
+            _SQRT_2_OVER_PI * (1.0 + 3.0 * _GELU_C * h1 * h1)
+        )
+        da = jax.lax.dot_general(
+            g, w2_ref[sl, :], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                              # (TM, HC)
+        dg1 = da * dgelu
+        dg1_b = dg1.astype(h_ref.dtype)
+        dw2_ref[sl, :] += jax.lax.dot_general(
+            ag, g, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        db1_ref[0, sl] += jnp.sum(dg1, axis=0)
+        dw1_ref[:, sl] += jax.lax.dot_general(
+            a, dg1_b, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dn = dn + jax.lax.dot_general(
+            dg1_b, w1_ref[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    dn_ref[0] = dn.astype(dn_ref.dtype)
+    s1_ref[0] += jnp.sum(dn, axis=0, keepdims=True)
+    s2_ref[0] += jnp.sum(dn * hm, axis=0, keepdims=True)
+
+
+def _fwd_impl(h, x, mean, rsig, w1, b1, w2, b2, ws, interpret):
+    b, hh, ww, c = h.shape
+    p = w2.shape[1]
+    h4 = w1.shape[1]
+    hc = min(h4, 1024)
+    hw = hh * ww
+    tm = _pick_tm(hw, lambda tm: _fwd_vmem(tm, c, h4, p, hc))
+    assert tm is not None, "shape too large for fused block kernel (gate with fits())"
+    hm = h.reshape(b, hw, c)
+    xm = x.reshape(b, hw, c)
+    kern = functools.partial(_fwd_kernel, hc=hc)
+    out = pl.pallas_call(
+        kern,
+        grid=(b, hw // tm),
+        in_specs=[
+            pl.BlockSpec((1, 1, c), lambda bi, ti: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda bi, ti: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tm, c), lambda bi, ti: (bi, ti, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tm, c), lambda bi, ti: (bi, ti, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # w1
+            pl.BlockSpec((1, h4), lambda bi, ti: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # w2
+            pl.BlockSpec((1, p), lambda bi, ti: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # ws
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tm, p), lambda bi, ti: (bi, ti, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, hw, p), h.dtype),
+        interpret=interpret,
+    )(mean.reshape(b, 1, c), rsig.reshape(b, 1, c), hm, xm,
+      w1, b1.reshape(1, h4), w2, b2.reshape(1, p), ws)
+    return out.reshape(b, hh, ww, p)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9,))
+def block_core(h, x, mean, rsig, w1, b1, w2, b2, ws, interpret=False):
+    """Fused normalize+MLP+shortcut.
+
+    h, x: (B, H, W, C) activations (h = dwconv output, x = block input).
+    mean, rsig: (B, C) f32 InstanceNorm statistics of h over (H, W).
+    w1 (C,4C) b1 (4C,) w2 (4C,P) b2 (P,) ws (C,P), all in compute dtype.
+    Returns (B, H, W, P).
+    """
+    return _fwd_impl(h, x, mean, rsig, w1, b1, w2, b2, ws, interpret)
+
+
+def _vjp_fwd(h, x, mean, rsig, w1, b1, w2, b2, ws, interpret):
+    out = _fwd_impl(h, x, mean, rsig, w1, b1, w2, b2, ws, interpret)
+    return out, (h, x, mean, rsig, w1, b1, w2, ws)
+
+
+def _vjp_bwd(interpret, res, g):
+    h, x, mean, rsig, w1, b1, w2, ws = res
+    b, hh, ww, c = h.shape
+    p = w2.shape[1]
+    h4 = w1.shape[1]
+    hc = min(h4, 1024)
+    hw = hh * ww
+    tm = _pick_tm(hw, lambda tm: _bwd_vmem(tm, c, h4, p, hc))
+    assert tm is not None, "shape too large for fused block kernel (gate with fits())"
+    hm = h.reshape(b, hw, c)
+    xm = x.reshape(b, hw, c)
+    gm = g.reshape(b, hw, p)
+    kern = functools.partial(_bwd_kernel, hc=hc)
+    row = lambda bi, ti: (bi, ti, 0)
+    stat = lambda bi, ti: (bi, 0, 0)
+    whole = lambda bi, ti: (0, 0)
+    dn, dx, dw1, db1, dw2, db2, dws, s1, s2 = pl.pallas_call(
+        kern,
+        grid=(b, hw // tm),
+        in_specs=[
+            pl.BlockSpec((1, 1, c), stat, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), stat, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tm, c), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tm, c), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tm, p), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # w1
+            pl.BlockSpec((1, h4), whole, memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # w2
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # ws
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tm, c), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tm, c), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, h4), whole, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h4), whole, memory_space=pltpu.VMEM),
+            pl.BlockSpec((h4, p), whole, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, p), whole, memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, p), whole, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), stat, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), stat, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, hw, c), h.dtype),      # dn
+            jax.ShapeDtypeStruct((b, hw, c), x.dtype),      # dx
+            jax.ShapeDtypeStruct((c, h4), jnp.float32),     # dW1
+            jax.ShapeDtypeStruct((1, h4), jnp.float32),     # db1
+            jax.ShapeDtypeStruct((h4, p), jnp.float32),     # dW2
+            jax.ShapeDtypeStruct((1, p), jnp.float32),      # db2
+            jax.ShapeDtypeStruct((c, p), jnp.float32),      # dWs
+            jax.ShapeDtypeStruct((b, 1, c), jnp.float32),   # S1
+            jax.ShapeDtypeStruct((b, 1, c), jnp.float32),   # S2
+        ],
+        interpret=interpret,
+    )(mean.reshape(b, 1, c), rsig.reshape(b, 1, c), hm, xm, gm,
+      w1, b1.reshape(1, h4), w2, ws)
+
+    dn4 = dn.reshape(b, hh, ww, c)
+    # h cotangent holding the statistics fixed; the mean/rsig cotangents
+    # below let XLA's autodiff of instance_stats supply the rest.
+    dh = (dn4.astype(jnp.float32) * rsig[:, None, None, :]).astype(h.dtype)
+    dmean = -rsig * s1.reshape(b, c)
+    drsig = s2.reshape(b, c)
+    return (
+        dh,
+        dx.reshape(b, hh, ww, c),
+        dmean.astype(mean.dtype),
+        drsig.astype(rsig.dtype),
+        dw1.astype(w1.dtype),
+        db1.reshape(h4).astype(b1.dtype),
+        dw2.astype(w2.dtype),
+        db2.reshape(p).astype(w2.dtype),
+        dws.astype(ws.dtype),
+    )
+
+
+block_core.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def block_core_reference(h, x, mean, rsig, w1, b1, w2, b2, ws):
+    """XLA reference (same math/gelu flavor) for parity tests."""
+    a = ((h.astype(jnp.float32) - mean[:, None, None, :])
+         * rsig[:, None, None, :]).astype(h.dtype)
+    h1 = (jnp.dot(a, w1.astype(jnp.float32)).astype(jnp.float32)
+          + b1.astype(jnp.float32)).astype(h.dtype)
+    g = jax.nn.gelu(h1, approximate=True)
+    out = (jnp.dot(g, w2.astype(jnp.float32)) + b2.astype(jnp.float32)
+           + jnp.dot(x, ws.astype(jnp.float32)))
+    return out.astype(h.dtype)
