@@ -54,9 +54,9 @@ def main():
     vgg = Vgg16Features(dtype=jnp.bfloat16, num_taps=4) if use_vgg else None
     vgg_params = vgg.init(kv, jnp.zeros((1, 64, 64, 3))) if use_vgg else None
 
-    cfg = Pix2PixConfig(pool_size=50, use_vgg=use_vgg)
+    cfg = Pix2PixConfig(pool_size=50, use_vgg=use_vgg, compute_dtype=jnp.bfloat16)
     adam = make_adam(cfg.beta1)
-    pool_images, pool_count = init_pool(cfg.pool_size, (size, size, 6), jnp.float32)
+    pool_images, pool_count = init_pool(cfg.pool_size, (size, size, 6), jnp.bfloat16)
     state = Pix2PixState(
         params_G=params_G,
         params_D=params_D,

@@ -43,23 +43,92 @@ class ChannelAttention(nn.Module):
         return nn.sigmoid(avg_out + max_out)
 
 
+class _DenseParams(nn.Module):
+    """Raw Dense-layout params ({kernel, bias}) so fused and XLA block
+    paths share one checkpoint-compatible tree."""
+
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        from dsgan_tpu.models.layers import normal02, zeros
+
+        k = self.param("kernel", normal02, (self.in_features, self.features), jnp.float32)
+        b = self.param("bias", zeros, (self.features,), jnp.float32)
+        return k, b
+
+
+class _Conv1x1Params(nn.Module):
+    """Raw 1x1-Conv kernel param (HWIO, no bias), checkpoint-compatible
+    with the previous nn.Conv 'shortcut' submodule."""
+
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        from dsgan_tpu.models.layers import normal02
+
+        return self.param(
+            "kernel", normal02, (1, 1, self.in_features, self.features), jnp.float32
+        )
+
+
 class ConvNeXtBlock(nn.Module):
     """Reference Block (MixConvNeXtML.py:203-243): 1x1 shortcut +
-    [dw7x7 -> IN -> Dense(4d) -> GELU -> Dense(plans)]."""
+    [dw7x7 -> IN -> Dense(4d) -> GELU -> Dense(plans)].
+
+    On TPU in bf16 with tanh-flavor GELU, the whole post-dwconv body runs
+    as ONE fused Pallas kernel (pallas.block_core, custom fwd+bwd): the
+    4*dim hidden never touches HBM. The XLA path below is the fallback
+    (f32 runs, exact-erf GELU, CPU, and shapes the kernel's VMEM gate
+    rejects) and the numerical reference for its parity tests."""
 
     plans: int
     dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
+        from dsgan_tpu.models.layers import _GELU_MODE
+        from dsgan_tpu.pallas import (
+            block_core_fits, block_core_in, pallas_enabled, pallas_interpret,
+        )
+
         dim = x.shape[-1]
-        shortcut = Conv(self.plans, 1, bias=False, dtype=self.dtype, name="shortcut")(x)
-        h = Conv(dim, 7, padding=3, groups=dim, dtype=self.dtype, name="dwconv")(x)
-        h = ops.instance_norm(h)
-        h = Dense(4 * dim, dtype=self.dtype, name="pwconv1")(h)
-        h = gelu(h)
-        h = Dense(self.plans, dtype=self.dtype, name="pwconv2")(h)
-        return shortcut + h
+        dtype = self.dtype or x.dtype
+        w1, b1 = _DenseParams(4 * dim, dim, name="pwconv1")()
+        w2, b2 = _DenseParams(self.plans, 4 * dim, name="pwconv2")()
+        wsc = _Conv1x1Params(self.plans, dim, name="shortcut")()
+        h = Conv(dim, 7, padding=3, groups=dim, dtype=dtype, name="dwconv")(x)
+
+        tanh_gelu = _GELU_MODE == "tanh" or (
+            _GELU_MODE == "auto" and dtype == jnp.bfloat16
+        )
+        hw = x.shape[1] * x.shape[2]
+        use_fused = (
+            (pallas_enabled() or pallas_interpret())
+            and dtype == jnp.bfloat16
+            and tanh_gelu
+            and dim >= 32
+            and hw % 128 == 0
+            and block_core_fits(hw, dim, 4 * dim, self.plans)
+        )
+        xc = x.astype(dtype)
+        if use_fused:
+            return block_core_in(
+                h.astype(dtype), xc,
+                w1.astype(dtype), b1.astype(dtype),
+                w2.astype(dtype), b2.astype(dtype),
+                wsc[0, 0].astype(dtype),
+                pallas_interpret(),
+            )
+        sc = ops.conv2d(xc, wsc.astype(dtype))
+        hn = ops.instance_norm(h).astype(dtype)
+        hn = hn @ w1.astype(dtype) + b1.astype(dtype)
+        hn = gelu(hn)
+        hn = hn @ w2.astype(dtype) + b2.astype(dtype)
+        return sc + hn
 
 
 class UpBlock(nn.Module):

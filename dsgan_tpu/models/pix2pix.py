@@ -62,6 +62,12 @@ class Pix2PixConfig:
     w_ss: float = 1.25
     use_vgg: bool = True
     beta1: float = 0.5
+    # compute dtype for the image path (None = keep the loader's f32).
+    # bf16 halves HBM traffic on every image/feature-space tensor (pool,
+    # D inputs, VGG taps); all loss reductions still accumulate in f32
+    # (ops/losses.py), and the uint8 quality-metric protocol is unchanged
+    # (bf16 resolution at 1.0 equals one uint8 step).
+    compute_dtype: Any = None
     # batch the two D applications (fake/real) into one — valid for
     # per-sample norms (instance/none); disabled for batch norm where the
     # combined batch statistics would differ
@@ -99,6 +105,9 @@ def make_train_step(G, D, vgg: Optional[Vgg16Features], vgg_params, cfg: Pix2Pix
 
     def step(state: Pix2PixState, real_A, real_B, lr):
         rng, r_pool, r_drop_g, r_drop_d = jax.random.split(state.rng, 4)
+        if cfg.compute_dtype is not None:
+            real_A = real_A.astype(cfg.compute_dtype)
+            real_B = real_B.astype(cfg.compute_dtype)
 
         # ---- G forward once, with VJP closure for the later G update
         def g_forward(pg):
@@ -201,6 +210,7 @@ def make_train_step(G, D, vgg: Optional[Vgg16Features], vgg_params, cfg: Pix2Pix
         real_q = ops.metrics.quantize_uint8(real_B)
         metrics["psnr"] = ops.psnr_uint8(real_q, fake_q)
         metrics["ssim"] = ops.ssim_uint8(real_q, fake_q)
+        metrics = {k: jnp.asarray(v, jnp.float32) for k, v in metrics.items()}
 
         new_state = Pix2PixState(
             params_G=params_G,
@@ -212,7 +222,9 @@ def make_train_step(G, D, vgg: Optional[Vgg16Features], vgg_params, cfg: Pix2Pix
             rng=rng,
             step=state.step + 1,
         )
-        return new_state, metrics, fake_B_sg
+        # visuals leave the step in f32: numpy/PIL on the host don't speak
+        # bf16, and the cast is one small tensor
+        return new_state, metrics, fake_B_sg.astype(jnp.float32)
 
     return step
 
@@ -310,11 +322,12 @@ class Pix2PixModel(BaseModel):
                 use_vgg=float(opt.w_vgg) != 0.0,
                 beta1=opt.beta1,
                 fuse_d_batch=opt.norm != "batch",
+                compute_dtype=dtype,
             )
             self.cfg = cfg
             adam = make_adam(cfg.beta1)
             pool_images, pool_count = init_pool(
-                max(cfg.pool_size, 0), (h, w, d_in_nc), jnp.float32
+                max(cfg.pool_size, 0), (h, w, d_in_nc), dtype or jnp.float32
             )
             self.state = Pix2PixState(
                 params_G=params_G,

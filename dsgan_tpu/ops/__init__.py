@@ -16,7 +16,7 @@ from dsgan_tpu.ops.conv import (
     adaptive_max_pool,
     upsample_bilinear,
 )
-from dsgan_tpu.ops.norm import instance_norm, batch_norm_inference
+from dsgan_tpu.ops.norm import instance_norm, instance_stats, batch_norm_inference
 from dsgan_tpu.ops.ssim import fspecial_gauss_1d, gaussian_filter, ssim, ms_ssim
 from dsgan_tpu.ops.losses import (
     gan_loss,
@@ -38,6 +38,7 @@ __all__ = [
     "adaptive_max_pool",
     "upsample_bilinear",
     "instance_norm",
+    "instance_stats",
     "batch_norm_inference",
     "fspecial_gauss_1d",
     "gaussian_filter",

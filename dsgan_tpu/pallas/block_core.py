@@ -52,7 +52,7 @@ def _fwd_vmem(tm, c, h4, p, hc):
         + (c * h4 + h4 + h4 * p + p + c * p) * 2  # weights bf16
         + 2 * c * 4 * 2               # stats rows
         + tm * hc * 4 * 2             # hidden chunk f32 + gelu temp
-        + tm * p * 4                  # accumulator
+        + tm * p * 4                  # f32 accumulator
         + tm * c * 4                  # normalized tile
     )
 
@@ -65,7 +65,7 @@ def _bwd_vmem(tm, c, h4, p, hc):
         + (h4 + p + 4 * c) * 4              # db1, db2, s1, s2
         + (c * h4 + h4 + h4 * p + c * p) * 2  # weights bf16
         + tm * hc * 4 * 4                   # h1/tanh/da/dg1 chunks f32
-        + tm * c * 4 * 2                    # dn acc + (h-mean)
+        + tm * c * 4 * 2                    # f32 dn acc + (h-mean)
     )
 
 
@@ -78,7 +78,7 @@ def _pick_tm(m_per_image, est, budget=11 * 1024 * 1024):
     return None
 
 
-def fits(b, hw, c, h4, p):
+def block_core_fits(hw, c, h4, p):
     """Static gate: True if both kernels fit VMEM at some tile size."""
     hc = min(h4, 1024)
     tf = _pick_tm(hw, lambda tm: _fwd_vmem(tm, c, h4, p, hc))
@@ -88,6 +88,10 @@ def fits(b, hw, c, h4, p):
 
 def _fwd_kernel(mean_ref, rsig_ref, h_ref, x_ref, w1_ref, b1_ref, w2_ref,
                 b2_ref, ws_ref, o_ref, *, hc):
+    # NOTE: elementwise math deliberately in f32 — a bf16-internal variant
+    # was measured SLOWER on v5e (fwd 3.43 vs 3.36 ms, fwd+bwd 15.1 vs
+    # 12.8 ms at the 256^2 decoder shape): the VPU runs bf16 at f32 rate
+    # and the extra casts are pure overhead.
     mean = mean_ref[0, 0, :]
     rsig = rsig_ref[0, 0, :]
     a = ((h_ref[0].astype(jnp.float32) - mean) * rsig).astype(h_ref.dtype)
@@ -98,8 +102,7 @@ def _fwd_kernel(mean_ref, rsig_ref, h_ref, x_ref, w1_ref, b1_ref, w2_ref,
         sl = slice(i * hc, (i + 1) * hc)
         h1 = jnp.dot(a, w1_ref[:, sl], preferred_element_type=jnp.float32)
         h1 = h1 + b1_ref[0, sl].astype(jnp.float32)
-        hb = h1.astype(h_ref.dtype)
-        g = jax.nn.gelu(hb, approximate=True)
+        g = jax.nn.gelu(h1.astype(h_ref.dtype), approximate=True)
         acc = acc + jnp.dot(g, w2_ref[sl, :], preferred_element_type=jnp.float32)
     o_ref[0] = acc.astype(o_ref.dtype)
 
@@ -128,7 +131,7 @@ def _bwd_kernel(mean_ref, rsig_ref, h_ref, x_ref, g_ref, w1_ref, b1_ref,
     mean = mean_ref[0, 0, :]
     rsig = rsig_ref[0, 0, :]
     hm = h_ref[0].astype(jnp.float32) - mean          # (TM, C) f32
-    a = (hm * rsig).astype(h_ref.dtype)               # normalized, bf16
+    a = (hm * rsig).astype(h_ref.dtype)               # normalized
     g = g_ref[0]                                      # (TM, P) cotangent
 
     # shortcut branch
@@ -149,8 +152,7 @@ def _bwd_kernel(mean_ref, rsig_ref, h_ref, x_ref, g_ref, w1_ref, b1_ref,
         h1 = jnp.dot(a, w1_ref[:, sl], preferred_element_type=jnp.float32)
         h1 = h1 + b1_ref[0, sl].astype(jnp.float32)
         # gelu(tanh) forward (on bf16, matching _fwd_kernel) + analytic grad
-        hb = h1.astype(h_ref.dtype)
-        ag = jax.nn.gelu(hb, approximate=True)
+        ag = jax.nn.gelu(h1.astype(h_ref.dtype), approximate=True)
         u = _SQRT_2_OVER_PI * (h1 + _GELU_C * h1 * h1 * h1)
         th = jnp.tanh(u)
         dgelu = 0.5 * (1.0 + th) + 0.5 * h1 * (1.0 - th * th) * (
@@ -232,8 +234,7 @@ def _vjp_fwd(h, x, mean, rsig, w1, b1, w2, b2, ws, interpret):
     return out, (h, x, mean, rsig, w1, b1, w2, ws)
 
 
-def _vjp_bwd(interpret, res, g):
-    h, x, mean, rsig, w1, b1, w2, ws = res
+def _bwd_impl(h, x, mean, rsig, w1, b1, w2, ws, g, interpret):
     b, hh, ww, c = h.shape
     p = w2.shape[1]
     h4 = w1.shape[1]
@@ -287,27 +288,88 @@ def _vjp_bwd(interpret, res, g):
         interpret=interpret,
     )(mean.reshape(b, 1, c), rsig.reshape(b, 1, c), hm, xm, gm,
       w1, b1.reshape(1, h4), w2, ws)
-
-    dn4 = dn.reshape(b, hh, ww, c)
-    # h cotangent holding the statistics fixed; the mean/rsig cotangents
-    # below let XLA's autodiff of instance_stats supply the rest.
-    dh = (dn4.astype(jnp.float32) * rsig[:, None, None, :]).astype(h.dtype)
-    dmean = -rsig * s1.reshape(b, c)
-    drsig = s2.reshape(b, c)
     return (
-        dh,
+        dn.reshape(b, hh, ww, c),
         dx.reshape(b, hh, ww, c),
-        dmean.astype(mean.dtype),
-        drsig.astype(rsig.dtype),
         dw1.astype(w1.dtype),
         db1.reshape(h4).astype(b1.dtype),
         dw2.astype(w2.dtype),
         db2.reshape(p).astype(w2.dtype),
         dws.astype(ws.dtype),
+        s1.reshape(b, c),
+        s2.reshape(b, c),
     )
 
 
+def _vjp_bwd(interpret, res, g):
+    h, x, mean, rsig, w1, b1, w2, ws = res
+    b, hh, ww, c = h.shape
+    dn4, dx, dw1, db1, dw2, db2, dws, s1, s2 = _bwd_impl(
+        h, x, mean, rsig, w1, b1, w2, ws, g, interpret
+    )
+    # h cotangent holding the statistics fixed; the mean/rsig cotangents
+    # below let the caller's autodiff of instance_stats supply the rest.
+    dh = dn4 * rsig[:, None, None, :].astype(h.dtype)
+    dmean = -rsig * s1
+    drsig = s2
+    return (dh, dx, dmean.astype(mean.dtype), drsig.astype(rsig.dtype),
+            dw1, db1, dw2, db2, dws)
+
+
 block_core.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def block_core_in(h, x, w1, b1, w2, b2, ws, interpret=False):
+    """Fused InstanceNorm+MLP+shortcut with the FULL IN backward folded in.
+
+    Same kernels as `block_core`, but the statistics are computed (and
+    differentiated) inside this op: the backward combines the kernel's
+    S1/S2 reductions into the closed-form InstanceNorm cotangent
+
+        dh = rsig*(dn - S1/HW) - rsig^3*S2/HW * (h - mean)
+
+    as ONE bf16 elementwise pass — no f32 broadcast sweeps from XLA's
+    autodiff of the statistics. This is the entry the model uses; the
+    stats-as-inputs `block_core` remains for compositional parity tests.
+    """
+    from dsgan_tpu.ops.norm import instance_stats
+
+    mean, rsig = instance_stats(h)
+    return _fwd_impl(h, x, mean, rsig, w1, b1, w2, b2, ws, interpret)
+
+
+def _in_vjp_fwd(h, x, w1, b1, w2, b2, ws, interpret):
+    from dsgan_tpu.ops.norm import instance_stats
+
+    mean, rsig = instance_stats(h)
+    out = _fwd_impl(h, x, mean, rsig, w1, b1, w2, b2, ws, interpret)
+    return out, (h, x, mean, rsig, w1, b1, w2, ws)
+
+
+def _in_vjp_bwd(interpret, res, g):
+    h, x, mean, rsig, w1, b1, w2, ws = res
+    b, hh, ww, c = h.shape
+    hw = hh * ww
+    dn4, dx, dw1, db1, dw2, db2, dws, s1, s2 = _bwd_impl(
+        h, x, mean, rsig, w1, b1, w2, ws, g, interpret
+    )
+    dt = h.dtype
+    # per-(b,c) f32 scalars; the big elementwise pass stays in dt.
+    #   dh = rsig*dn - rsig*S1/HW - rsig^3*S2/HW*(h - mean)
+    #      = dn*c1 - h*c3 + (mean*c3 - rsig*S1/HW)
+    c1 = rsig
+    c3 = (rsig ** 3) * s2 / hw
+    c0 = mean * c3 - rsig * s1 / hw
+    dh = (
+        dn4 * c1[:, None, None, :].astype(dt)
+        - h * c3[:, None, None, :].astype(dt)
+        + c0[:, None, None, :].astype(dt)
+    )
+    return (dh, dx, dw1, db1, dw2, db2, dws)
+
+
+block_core_in.defvjp(_in_vjp_fwd, _in_vjp_bwd)
 
 
 def block_core_reference(h, x, mean, rsig, w1, b1, w2, b2, ws):

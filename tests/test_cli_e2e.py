@@ -35,6 +35,7 @@ COMMON = [
 TRAIN_ONLY = ["--pool_size", "4"]
 
 
+@pytest.mark.slow
 def test_train_cli_end_to_end(tiny_dataset, tmp_path):
     from dsgan_tpu.train import main
 
@@ -80,6 +81,7 @@ def test_test_cli_after_training(tiny_dataset, tmp_path):
     assert lines[-1].startswith("mean")
 
 
+@pytest.mark.slow
 def test_cyclegan_cli_end_to_end(tmp_path):
     """CycleGAN through the real CLI: unaligned phaseA/phaseB dirs."""
     import numpy as np

@@ -23,6 +23,7 @@ def cyc_opt(tmp_path, **kw):
     return argparse.Namespace(**d)
 
 
+@pytest.mark.slow
 def test_cyclegan_step_and_losses(tmp_path):
     from dsgan_tpu.models.cycle_gan import CycleGANModel
 
@@ -51,6 +52,7 @@ def test_cyclegan_registry_dispatch(tmp_path):
     assert m.name() == "CycleGANModel"
 
 
+@pytest.mark.slow
 def test_cyclegan_cycle_improves_when_only_cycle_loss(tmp_path):
     """With identity+cycle only (no GAN influence via lr on D is still fine),
     overfitting one batch should reduce the cycle losses."""

@@ -22,6 +22,7 @@ def _init(module, shape, train=False):
     return init_params(module, jax.random.PRNGKey(0), shape, "normal", train=train)
 
 
+@pytest.mark.slow
 def test_mixconvnext_shapes():
     g = define_G(3, 3, 32, "MixConvNeXtML", dtype=None)
     v = _init(g, (1, 64, 64, 3))
@@ -30,6 +31,7 @@ def test_mixconvnext_shapes():
     assert bool(jnp.all(jnp.isfinite(y)))
 
 
+@pytest.mark.slow
 def test_mixconvnext_bf16_compute():
     g = define_G(3, 3, 32, "MixConvNeXtML", dtype=jnp.bfloat16)
     v = _init(g, (1, 64, 64, 3))
@@ -40,6 +42,7 @@ def test_mixconvnext_bf16_compute():
 
 
 @pytest.mark.skipif(not os.path.isdir(REF), reason="reference not mounted")
+@pytest.mark.slow
 def test_mixconvnext_param_count_matches_reference():
     sys.path.insert(0, os.path.join(REF, "models", "model"))
     try:

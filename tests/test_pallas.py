@@ -51,6 +51,118 @@ def test_dwconv_odd_height_tiles():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("c,p,hw", [(64, 64, 16), (128, 64, 16), (64, 128, 16)])
+def test_block_core_fwd_and_grad_parity(c, p, hw):
+    """Fused block-core kernel pair vs XLA reference, fwd + ALL cotangents
+    (h, x, mean, rsig, and the five weight tensors), interpreter mode."""
+    from dsgan_tpu.pallas.block_core import block_core, block_core_reference
+
+    rng = np.random.default_rng(21)
+    h4 = 4 * c
+    h = jnp.asarray(rng.standard_normal((2, hw, hw, c)).astype(np.float32))
+    x = jnp.asarray(rng.standard_normal((2, hw, hw, c)).astype(np.float32))
+    mean = jnp.mean(h, axis=(1, 2))
+    rsig = 1.0 / jnp.sqrt(jnp.var(h, axis=(1, 2)) + 1e-5)
+    w1 = jnp.asarray(rng.standard_normal((c, h4)).astype(np.float32)) * 0.05
+    b1 = jnp.asarray(rng.standard_normal((h4,)).astype(np.float32))
+    w2 = jnp.asarray(rng.standard_normal((h4, p)).astype(np.float32)) * 0.05
+    b2 = jnp.asarray(rng.standard_normal((p,)).astype(np.float32))
+    ws = jnp.asarray(rng.standard_normal((c, p)).astype(np.float32)) * 0.05
+    args = (h, x, mean, rsig, w1, b1, w2, b2, ws)
+
+    want = block_core_reference(*args)
+    got = block_core(*args, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
+
+    tgt = jnp.asarray(rng.standard_normal(want.shape).astype(np.float32))
+    gr = jax.grad(lambda a: jnp.mean(jnp.square(block_core_reference(*a) - tgt)))(args)
+    gp = jax.grad(lambda a: jnp.mean(jnp.square(block_core(*a, True) - tgt)))(args)
+    for name, a, b in zip("h x mean rsig w1 b1 w2 b2 ws".split(), gr, gp):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-3, atol=1e-5,
+            err_msg=f"cotangent mismatch for {name}",
+        )
+
+
+def test_block_core_in_full_grad_parity():
+    """block_core_in (stats + folded InstanceNorm backward inside the op)
+    vs plain autodiff of the reference chain instance_stats -> MLP."""
+    from dsgan_tpu.pallas.block_core import block_core_in, block_core_reference
+
+    rng = np.random.default_rng(31)
+    c, p, hw = 64, 32, 16
+    h4 = 4 * c
+    h = jnp.asarray(rng.standard_normal((2, hw, hw, c)).astype(np.float32))
+    x = jnp.asarray(rng.standard_normal((2, hw, hw, c)).astype(np.float32))
+    w1 = jnp.asarray(rng.standard_normal((c, h4)).astype(np.float32)) * 0.05
+    b1 = jnp.asarray(rng.standard_normal((h4,)).astype(np.float32))
+    w2 = jnp.asarray(rng.standard_normal((h4, p)).astype(np.float32)) * 0.05
+    b2 = jnp.asarray(rng.standard_normal((p,)).astype(np.float32))
+    ws = jnp.asarray(rng.standard_normal((c, p)).astype(np.float32)) * 0.05
+    args = (h, x, w1, b1, w2, b2, ws)
+
+    def ref(a):
+        h, x, w1, b1, w2, b2, ws = a
+        mean, rsig = ops.instance_stats(h)
+        return block_core_reference(h, x, mean, rsig, w1, b1, w2, b2, ws)
+
+    def pal(a):
+        return block_core_in(*a, True)
+
+    np.testing.assert_allclose(
+        np.asarray(pal(args)), np.asarray(ref(args)), rtol=2e-4, atol=2e-4
+    )
+    tgt = jnp.asarray(rng.standard_normal((2, hw, hw, p)).astype(np.float32))
+    gr = jax.grad(lambda a: jnp.mean(jnp.square(ref(a) - tgt)))(args)
+    gp = jax.grad(lambda a: jnp.mean(jnp.square(pal(a) - tgt)))(args)
+    for name, a, b in zip("h x w1 b1 w2 b2 ws".split(), gr, gp):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-3, atol=1e-5,
+            err_msg=f"cotangent mismatch for {name}",
+        )
+
+
+@pytest.mark.slow
+def test_convnext_block_fused_path_parity(monkeypatch):
+    """ConvNeXtBlock with the fused Pallas path (interpret, bf16) vs the
+    XLA fallback: same params, same input, same output and grads."""
+    monkeypatch.setenv("DSGAN_PALLAS", "0")
+    from dsgan_tpu.models.mixconvnext import ConvNeXtBlock
+    from dsgan_tpu.models.layers import set_gelu_mode
+
+    set_gelu_mode("tanh")
+    try:
+        rng = np.random.default_rng(5)
+        x = jnp.asarray(rng.standard_normal((2, 16, 16, 32)).astype(np.float32))
+        xb = x.astype(jnp.bfloat16)
+        blk = ConvNeXtBlock(64, dtype=jnp.bfloat16)
+        params = blk.init(jax.random.PRNGKey(0), xb)
+
+        ref = blk.apply(params, xb)
+        monkeypatch.setenv("DSGAN_PALLAS_INTERPRET", "1")
+        got = blk.apply(params, xb)
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(ref, np.float32),
+            rtol=2e-2, atol=2e-2,
+        )
+
+        def loss(fn_params, xi):
+            return jnp.mean(jnp.square(blk.apply(fn_params, xi).astype(jnp.float32)))
+
+        gp = jax.grad(loss)(params, xb)
+        monkeypatch.setenv("DSGAN_PALLAS_INTERPRET", "0")
+        gr = jax.grad(loss)(params, xb)
+        flat_p = jax.tree_util.tree_leaves_with_path(gp)
+        flat_r = dict(jax.tree_util.tree_leaves_with_path(gr))
+        for path, leaf in flat_p:
+            np.testing.assert_allclose(
+                np.asarray(leaf, np.float32), np.asarray(flat_r[path], np.float32),
+                rtol=5e-2, atol=5e-2, err_msg=str(path),
+            )
+    finally:
+        set_gelu_mode("auto")
+
+
 @pytest.mark.parametrize("c,p,hw", [(64, 64, 8), (128, 64, 4)])
 def test_block_mlp_parity(c, p, hw):
     from dsgan_tpu.pallas.block_mlp import block_mlp, block_mlp_reference

@@ -43,6 +43,7 @@ def test_mesh_shapes():
     assert m.devices.shape == (4, 2)  # 8 cpu devices / spatial 2
 
 
+@pytest.mark.slow
 def test_data_parallel_matches_single_device():
     """The DP-sharded step must produce the same params as single-device
     (same batch, replicated state) — psum-of-grads == full-batch grads."""
@@ -80,6 +81,7 @@ def test_data_parallel_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0, atol=4e-3)
 
 
+@pytest.mark.slow
 def test_spatial_sharding_compiles_and_runs():
     """H-sharded convs (XLA halo exchange) over a (2,2) mesh."""
     h = w = 32
@@ -105,6 +107,7 @@ def test_dryrun_multichip_hook():
         sys.path.pop(0)
 
 
+@pytest.mark.slow
 def test_spatial_sharded_inference_mixconvnext():
     """512^2-class inference pattern at test scale: MixConvNeXtML forward
     with batch+height sharding over a (2,4) mesh."""

@@ -21,6 +21,7 @@ REF = "/root/reference/DSGAN"
 pytestmark = pytest.mark.skipif(not os.path.isdir(REF), reason="reference not mounted")
 
 
+@pytest.mark.slow
 def test_mixconvnext_forward_parity_with_converted_weights(tmp_path):
     sys.path.insert(0, os.path.join(REF, "models", "model"))
     try:

@@ -2,12 +2,14 @@
 (params, Adam moments, pool, RNG, step counter, LR schedule position) —
 the capability the reference breaks with its save/load filename mismatch
 and unsaved optimizer state (reference base_model.py:95 vs 119, SURVEY §5)."""
+import pytest
 import jax
 import numpy as np
 
 from tests.test_train_step import batch, make_model
 
 
+@pytest.mark.slow
 def test_resume_reproduces_uninterrupted_run(tmp_path):
     rng = np.random.default_rng(0)
     batches = [batch(np.random.default_rng(i)) for i in range(6)]

@@ -67,6 +67,7 @@ def test_pool_fills_then_replays():
         assert v == 3.0 or v in stored_before[:, 0, 0, 0]
 
 
+@pytest.mark.slow
 def test_pool_replay_swap_rate():
     imgs, cnt = init_pool(8, (2, 2, 1))
     imgs, cnt, _ = pool_query(imgs, cnt, jnp.zeros((8, 2, 2, 1)), jax.random.PRNGKey(0))
@@ -157,6 +158,7 @@ def test_lr_schedule_matches_reference_lambda(tmp_path):
     assert abs(got[19]) < 1e-12
 
 
+@pytest.mark.slow
 def test_batch_norm_recipe_trains(tmp_path):
     """--norm batch path: learnable-affine batch-stat normalization inside
     the fused step (torch train-mode semantics; no running stats)."""
@@ -168,6 +170,7 @@ def test_batch_norm_recipe_trains(tmp_path):
     assert all(np.isfinite(v) for v in losses.values())
 
 
+@pytest.mark.slow
 def test_multiscale_discriminator_recipe_trains(tmp_path):
     """--which_model_netD multi: list-structured D outputs through the
     fused step (GANLoss_multi semantics) incl. pool + batched D call."""
@@ -179,6 +182,7 @@ def test_multiscale_discriminator_recipe_trains(tmp_path):
     assert all(np.isfinite(v) for v in losses.values())
 
 
+@pytest.mark.slow
 def test_lsgan_variant_trains(tmp_path):
     """--no_lsgan: sigmoid D + MSE criterion (reference's inverted flag
     semantics, pix2pix_model.py:112-114)."""
@@ -189,6 +193,7 @@ def test_lsgan_variant_trains(tmp_path):
     assert all(np.isfinite(v) for v in m.get_current_losses().values())
 
 
+@pytest.mark.slow
 def test_unconditional_d_recipe_trains(tmp_path):
     """--use_condition 0: D sees only the B-domain image."""
     m = make_model(tmp_path, use_condition=0)

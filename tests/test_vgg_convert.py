@@ -65,6 +65,7 @@ def _torch_taps(sd, x_nchw):
     return taps
 
 
+@pytest.mark.slow
 def test_convert_vgg16_forward_parity(tmp_path):
     rng = np.random.default_rng(7)
     sd = _synthetic_torchvision_sd(rng)

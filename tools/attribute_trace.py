@@ -46,9 +46,9 @@ def build():
     params_D = init_params(d, kd, (1, SIZE, SIZE, 6), "normal")["params"]
     vgg = Vgg16Features(dtype=jnp.bfloat16, num_taps=4)
     vgg_params = vgg.init(kv, jnp.zeros((1, 64, 64, 3)))
-    cfg = Pix2PixConfig(pool_size=50, use_vgg=True)
+    cfg = Pix2PixConfig(pool_size=50, use_vgg=True, compute_dtype=jnp.bfloat16)
     adam = make_adam(cfg.beta1)
-    pool_images, pool_count = init_pool(cfg.pool_size, (SIZE, SIZE, 6), jnp.float32)
+    pool_images, pool_count = init_pool(cfg.pool_size, (SIZE, SIZE, 6), jnp.bfloat16)
     state = Pix2PixState(
         params_G=params_G, params_D=params_D,
         opt_G=adam.init(params_G), opt_D=adam.init(params_D),

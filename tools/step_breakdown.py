@@ -136,8 +136,8 @@ def main():
     ta = timed("Adam dir (G params)", adam_g, params_G, opt_G)
 
     # ---- full fused step
-    cfg = Pix2PixConfig(pool_size=50, use_vgg=True)
-    pool_images, pool_count = init_pool(cfg.pool_size, (SIZE, SIZE, 6), jnp.float32)
+    cfg = Pix2PixConfig(pool_size=50, use_vgg=True, compute_dtype=jnp.bfloat16)
+    pool_images, pool_count = init_pool(cfg.pool_size, (SIZE, SIZE, 6), jnp.bfloat16)
     state = Pix2PixState(
         params_G=params_G, params_D=params_D,
         opt_G=adam.init(params_G), opt_D=adam.init(params_D),
