@@ -98,6 +98,42 @@ def test_spatial_sharding_compiles_and_runs():
 
 
 @pytest.mark.slow
+def test_spatial_sharded_train_matches_single_device():
+    """The spatially-sharded TRAIN step must match single-device numerics
+    (same batch), exactly as the DP axis is held to: losses across two
+    chained steps and post-step params agree. The spatial axis shards H
+    through every conv's halo exchange AND through both loss reductions."""
+    h = w = 32
+    g, d, cfg, state = _tiny_setup(h, w, pool=0)
+    rng = np.random.default_rng(3)
+    real_A = rng.uniform(-1, 1, (2, h, w, 3)).astype(np.float32)
+    real_B = rng.uniform(-1, 1, (2, h, w, 3)).astype(np.float32)
+    lr = jnp.float32(1e-3)
+
+    step_fn = make_train_step(g, d, None, None, cfg)
+    sstep = jax.jit(step_fn)
+    s1, m1a, _ = sstep(state, jnp.asarray(real_A), jnp.asarray(real_B), lr)
+    s1, m1b, _ = sstep(s1, jnp.asarray(real_A), jnp.asarray(real_B), lr)
+
+    mesh = get_mesh(2, 4)  # batch 2 over data axis, H over 4-way spatial
+    pstep = make_parallel_step(step_fn, mesh, donate_state=False)
+    sp = replicate(state, mesh)
+    ra, rb = shard_batch(real_A, mesh), shard_batch(real_B, mesh)
+    sp, mpa, _ = pstep(sp, ra, rb, lr)
+    sp, mpb, _ = pstep(sp, ra, rb, lr)
+
+    for k in ("loss_G", "loss_D", "loss_G_L1", "loss_ssim", "loss_tv"):
+        np.testing.assert_allclose(float(m1a[k]), float(mpa[k]), rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(float(m1b[k]), float(mpb[k]), rtol=1e-4, atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params_G),
+                    jax.tree_util.tree_leaves(sp.params_G)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0, atol=4e-3)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params_D),
+                    jax.tree_util.tree_leaves(sp.params_D)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0, atol=4e-3)
+
+
+@pytest.mark.slow
 def test_dryrun_multichip_hook():
     sys.path.insert(0, "/root/repo")
     try:
