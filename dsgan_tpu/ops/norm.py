@@ -7,34 +7,80 @@ per-sample, per-channel statistics over the spatial dims with *biased*
 variance and eps=1e-5, no learned scale/shift.
 """
 
+import functools
+
+import jax
 import jax.numpy as jnp
 
 
-def instance_norm(x, eps=1e-5, weight=None, bias=None):
-    """InstanceNorm over NHWC spatial dims.
+def _in_stats(x, eps):
+    """f32 per-(b,c) mean and rsigma over spatial dims of NHWC x.
 
-    Stats are computed in float32 regardless of input dtype (bfloat16-safe),
-    result is cast back to the input dtype.
-    """
+    Single-pass stats: E[x^2] - E[x]^2 lets XLA fuse both reductions into
+    ONE read of x. f32 accumulation over <=65k roughly-centered activations
+    keeps the cancellation error far below the bf16 activations' own
+    resolution (torch-parity pinned by tests/test_ops_conv.py)."""
     xf = x.astype(jnp.float32)
-    # single-pass stats: E[x^2] - E[x]^2 lets XLA fuse both reductions into
-    # ONE read of x (the two-pass (x-mean)^2 form forces a second sweep).
-    # f32 accumulation over <=65k roughly-centered activations keeps the
-    # cancellation error far below the bf16 activations' own resolution
-    # (torch-parity pinned by tests/test_ops_conv.py::test_instance_norm*).
     mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
     mean_sq = jnp.mean(jnp.square(xf), axis=(1, 2), keepdims=True)
     var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
-    rsig = jnp.reciprocal(jnp.sqrt(var + eps))
+    return mean, jnp.reciprocal(jnp.sqrt(var + eps))
+
+
+def _in_apply(x, mean, rsig):
     if x.dtype == jnp.float32:
-        y = (xf - mean) * rsig
+        return (x.astype(jnp.float32) - mean) * rsig
+    # bf16 inputs: apply as x*scale - shift in the INPUT dtype. The f32
+    # normalize materialized full f32 copies around every norm site
+    # (~12 ms/step of convert_element_type sweeps in the 256^2 train step);
+    # per-(b,c) f32 scalars keep the stats exact while the big elementwise
+    # pass stays bf16 (error ~1 ulp of bf16).
+    return x * rsig.astype(x.dtype) - (mean * rsig).astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _instance_norm_core(x, eps):
+    mean, rsig = _in_stats(x, eps)
+    return _in_apply(x, mean, rsig).astype(x.dtype)
+
+
+def _in_core_fwd(x, eps):
+    mean, rsig = _in_stats(x, eps)
+    return _in_apply(x, mean, rsig).astype(x.dtype), (x, mean, rsig)
+
+
+def _in_core_bwd(eps, res, dy):
+    # Closed-form InstanceNorm backward in ONE elementwise pass:
+    #   dx = rsig*(dy - mean(dy) - n*mean(dy*n)),  n = (x-mean)*rsig
+    # XLA's autodiff of the stats instead emits ~4 full-tensor sweeps
+    # (several in f32) per norm site — measured 2.6 ms fwd+bwd at
+    # 256^2x64xb16 vs ~1 ms for this form.
+    x, mean, rsig = res
+    n = _in_apply(x, mean, rsig)                     # recompute, input dtype
+    dyf = dy.astype(jnp.float32)
+    nf = n.astype(jnp.float32)
+    m1 = jnp.mean(dyf, axis=(1, 2), keepdims=True)
+    m2 = jnp.mean(dyf * nf, axis=(1, 2), keepdims=True)
+    if x.dtype == jnp.float32:
+        dx = rsig * (dyf - m1 - nf * m2)
     else:
-        # bf16 inputs: apply as x*scale - shift in the INPUT dtype. The f32
-        # normalize materialized full f32 copies around every norm site
-        # (~12 ms/step of convert_element_type sweeps in the 256^2 train
-        # step); per-(b,c) f32 scalars keep the stats exact while the
-        # big elementwise pass stays bf16 (error ~1 ulp of bf16).
-        y = x * rsig.astype(x.dtype) - (mean * rsig).astype(x.dtype)
+        dx = (dy - m1.astype(dy.dtype)) * rsig.astype(dy.dtype) - n * (
+            (rsig * m2).astype(dy.dtype)
+        )
+    return (dx.astype(x.dtype),)
+
+
+_instance_norm_core.defvjp(_in_core_fwd, _in_core_bwd)
+
+
+def instance_norm(x, eps=1e-5, weight=None, bias=None):
+    """InstanceNorm over NHWC spatial dims (torch InstanceNorm2d semantics:
+    biased variance, eps inside the sqrt, affine only if weight/bias given).
+
+    Stats are computed in float32 regardless of input dtype (bfloat16-safe);
+    the normalize and its custom closed-form backward run in the input dtype.
+    """
+    y = _instance_norm_core(x, eps)
     if weight is not None:
         y = y * weight.astype(y.dtype)
     if bias is not None:

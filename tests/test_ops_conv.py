@@ -6,6 +6,7 @@ import numpy as np
 import pytest
 import torch
 import torch.nn.functional as F
+import jax
 import jax.numpy as jnp
 
 from dsgan_tpu import ops
@@ -110,6 +111,40 @@ def test_instance_norm_matches_torch():
     ref = F.instance_norm(xt)
     got = ops.instance_norm(jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(got), _nhwc(ref), rtol=1e-4, atol=1e-5)
+
+
+def test_instance_norm_grad_matches_torch():
+    """The closed-form custom backward vs torch autograd of F.instance_norm
+    (grad wrt input through a scalar loss)."""
+    x = RNG.standard_normal((2, 8, 6, 5), dtype=np.float32) * 3 - 0.5
+    t = RNG.standard_normal((2, 8, 6, 5), dtype=np.float32)
+    xt = torch.from_numpy(np.ascontiguousarray(x.transpose(0, 3, 1, 2)))
+    xt.requires_grad_(True)
+    tt = torch.from_numpy(np.ascontiguousarray(t.transpose(0, 3, 1, 2)))
+    ((F.instance_norm(xt) - tt) ** 2).mean().backward()
+    ref = xt.grad.detach().numpy().transpose(0, 2, 3, 1)
+
+    def loss(xj):
+        return jnp.mean(jnp.square(ops.instance_norm(xj) - jnp.asarray(t)))
+
+    got = jax.grad(loss)(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-3, atol=1e-6)
+
+
+def test_instance_norm_bf16_close_to_f32():
+    x = RNG.standard_normal((2, 16, 16, 8), dtype=np.float32) * 2
+    yf = ops.instance_norm(jnp.asarray(x))
+    yb = ops.instance_norm(jnp.asarray(x).astype(jnp.bfloat16))
+    np.testing.assert_allclose(
+        np.asarray(yb, np.float32), np.asarray(yf), rtol=0, atol=0.05
+    )
+    gf = jax.grad(lambda z: jnp.sum(jnp.square(ops.instance_norm(z))))(jnp.asarray(x))
+    gb = jax.grad(
+        lambda z: jnp.sum(jnp.square(ops.instance_norm(z)).astype(jnp.float32))
+    )(jnp.asarray(x).astype(jnp.bfloat16))
+    np.testing.assert_allclose(
+        np.asarray(gb, np.float32), np.asarray(gf), rtol=0, atol=0.25
+    )
 
 
 def test_upsample_bilinear_matches_torch():
