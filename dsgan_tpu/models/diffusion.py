@@ -1,0 +1,289 @@
+"""Conditional DDPM colorization — a FUNCTIONAL successor to the
+reference's non-runnable diffusion scratch.
+
+The reference ships `DSGAN/models/dissuion_model.py`: a DDPM experiment
+with the noise schedule alpha_t = sqrt(1 - 0.02*t/T) (dissuion_model.py:
+29-35), x_t = bar_alpha*x0 + bar_beta*eps noising (:67-82) and an L2
+noise-prediction loss (:133-136) — but it imports a module that does not
+exist, hard-codes CelebA-HQ paths, calls Keras-style APIs on torch
+tensors, and is unreachable from the model registry. This module keeps
+that scratch's schedule and objective and builds the rest TPU-native:
+
+  * a flax NHWC UNet denoiser with sinusoidal-time FiLM conditioning,
+    conditioned on the TIR input by channel-concat (colorization);
+  * ONE jitted train step (noise, denoise, L2, Adam) on donated state;
+  * a DDIM sampler as a single `lax.fori_loop` program (no Python loop
+    per step, one compile for any step count);
+  * full BaseModel lifecycle: `--model diffusion` trains through the
+    standard train.py CLI, checkpoints via orbax, resumes exactly.
+"""
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import linen as nn
+from flax import struct
+
+from dsgan_tpu import ops
+from dsgan_tpu.models.base_model import BaseModel
+from dsgan_tpu.models.layers import Conv, ConvTranspose, Dense, gelu
+from dsgan_tpu.models.pix2pix import make_adam
+
+
+@struct.dataclass
+class DiffusionState:
+    params: Any
+    opt: Any
+    rng: Any
+    step: Any
+
+
+def make_schedule(timesteps):
+    """The reference scratch's schedule (dissuion_model.py:29-35):
+    alpha_t = sqrt(1 - 0.02 t/T); bar_alpha = prod(alpha);
+    bar_beta = sqrt(1 - bar_alpha^2). Arrays are f32, index 0 = t=1."""
+    t = np.arange(1, timesteps + 1, dtype=np.float64)
+    alpha = np.sqrt(1.0 - 0.02 * t / timesteps)
+    bar_alpha = np.cumprod(alpha)
+    bar_beta = np.sqrt(1.0 - bar_alpha**2)
+    return (
+        jnp.asarray(bar_alpha, jnp.float32),
+        jnp.asarray(bar_beta, jnp.float32),
+    )
+
+
+class TimeEmbed(nn.Module):
+    """Sinusoidal timestep embedding -> 2-layer MLP."""
+
+    dim: int = 128
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, t):
+        half = self.dim // 2
+        freqs = jnp.exp(-np.log(10000.0) * jnp.arange(half, dtype=jnp.float32) / half)
+        ang = t.astype(jnp.float32)[:, None] * freqs[None, :]
+        emb = jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)
+        emb = Dense(self.dim, dtype=self.dtype, name="fc1")(emb)
+        emb = gelu(emb)
+        return Dense(self.dim, dtype=self.dtype, name="fc2")(emb)
+
+
+class _FiLMBlock(nn.Module):
+    """Conv -> IN -> time FiLM (scale, shift) -> GELU."""
+
+    features: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, temb):
+        h = Conv(self.features, 3, padding=1, dtype=self.dtype, name="conv")(x)
+        h = ops.instance_norm(h)
+        ss = Dense(2 * self.features, dtype=self.dtype, name="film")(gelu(temb))
+        scale, shift = jnp.split(ss, 2, axis=-1)
+        h = h * (1.0 + scale[:, None, None, :]) + shift[:, None, None, :]
+        return gelu(h)
+
+
+class DenoiseUNet(nn.Module):
+    """Compact 3-level NHWC UNet: eps(x_t, t | cond) for colorization.
+
+    Input is channel-concat [x_t (output_nc) ; cond (input_nc)]."""
+
+    out_nc: int = 3
+    nf: int = 64
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, xt, cond, t):
+        dt = self.dtype
+        temb = TimeEmbed(4 * self.nf, dtype=dt, name="temb")(t)
+        x = jnp.concatenate([xt, cond], axis=-1).astype(dt or xt.dtype)
+
+        e1 = _FiLMBlock(self.nf, dtype=dt, name="e1")(x, temb)
+        e2 = _FiLMBlock(2 * self.nf, dtype=dt, name="e2")(ops.max_pool2d(e1, 2), temb)
+        e3 = _FiLMBlock(4 * self.nf, dtype=dt, name="e3")(ops.max_pool2d(e2, 2), temb)
+        m = _FiLMBlock(4 * self.nf, dtype=dt, name="mid")(e3, temb)
+
+        u2 = ConvTranspose(2 * self.nf, 3, 2, 1, 1, dtype=dt, name="up2")(m)
+        d2 = _FiLMBlock(2 * self.nf, dtype=dt, name="d2")(
+            jnp.concatenate([u2, e2], axis=-1), temb
+        )
+        u1 = ConvTranspose(self.nf, 3, 2, 1, 1, dtype=dt, name="up1")(d2)
+        d1 = _FiLMBlock(self.nf, dtype=dt, name="d1")(
+            jnp.concatenate([u1, e1], axis=-1), temb
+        )
+        out = Conv(self.out_nc, 3, padding=1, dtype=dt, name="out")(d1)
+        return out.astype(xt.dtype)
+
+
+@dataclasses.dataclass(frozen=True)
+class DiffusionConfig:
+    timesteps: int = 1000
+    beta1: float = 0.9
+    compute_dtype: Any = None
+
+
+def make_diffusion_train_step(net, cfg: DiffusionConfig):
+    bar_alpha, bar_beta = make_schedule(cfg.timesteps)
+    adam = make_adam(cfg.beta1)
+
+    def step(state: DiffusionState, real_A, real_B, lr):
+        rng, r_t, r_eps = jax.random.split(state.rng, 3)
+        if cfg.compute_dtype is not None:
+            real_A = real_A.astype(cfg.compute_dtype)
+            real_B = real_B.astype(cfg.compute_dtype)
+        b = real_B.shape[0]
+        t = jax.random.randint(r_t, (b,), 0, cfg.timesteps)
+        eps = jax.random.normal(r_eps, real_B.shape, real_B.dtype)
+        ba = bar_alpha[t][:, None, None, None].astype(real_B.dtype)
+        bb = bar_beta[t][:, None, None, None].astype(real_B.dtype)
+        x_t = ba * real_B + bb * eps
+
+        def loss_fn(params):
+            pred = net.apply({"params": params}, x_t, real_A, t)
+            return jnp.mean(
+                jnp.square(pred.astype(jnp.float32) - eps.astype(jnp.float32))
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        upd, opt = adam.update(grads, state.opt)
+        params = jax.tree_util.tree_map(
+            lambda p, u: p - lr * u.astype(p.dtype), state.params, upd
+        )
+        new_state = DiffusionState(params=params, opt=opt, rng=rng, step=state.step + 1)
+        return new_state, {"loss_G": jnp.asarray(loss, jnp.float32)}
+
+    return step
+
+
+def make_ddim_sampler(net, cfg: DiffusionConfig, sample_steps=20):
+    """DDIM (eta=0) sampler as one jitted lax.fori_loop program."""
+    bar_alpha, bar_beta = make_schedule(cfg.timesteps)
+    ts = jnp.asarray(
+        np.linspace(cfg.timesteps - 1, 0, sample_steps).round().astype(np.int32)
+    )
+
+    def sample(params, cond, rng):
+        shape = cond.shape[:-1] + (net.out_nc,)
+        x = jax.random.normal(rng, shape, jnp.float32)
+
+        def body(i, x):
+            t = ts[i]
+            t_prev = jnp.where(i + 1 < sample_steps, ts[jnp.minimum(i + 1, sample_steps - 1)], -1)
+            tb = jnp.full((shape[0],), t, jnp.int32)
+            eps = net.apply({"params": params}, x, cond, tb).astype(jnp.float32)
+            ba_t = bar_alpha[t]
+            bb_t = bar_beta[t]
+            x0 = (x - bb_t * eps) / ba_t
+            x0 = jnp.clip(x0, -1.0, 1.0)
+            ba_p = jnp.where(t_prev >= 0, bar_alpha[jnp.maximum(t_prev, 0)], 1.0)
+            bb_p = jnp.where(t_prev >= 0, bar_beta[jnp.maximum(t_prev, 0)], 0.0)
+            return ba_p * x0 + bb_p * eps
+
+        return jax.lax.fori_loop(0, sample_steps, body, x)
+
+    return sample
+
+
+class DiffusionModel(BaseModel):
+    """`--model diffusion`: conditional DDPM colorization trainer."""
+
+    def name(self):
+        return "DiffusionModel"
+
+    @staticmethod
+    def modify_commandline_options(parser, is_train=True):
+        parser.add_argument("--timesteps", type=int, default=1000,
+                            help="diffusion timesteps T (reference scratch: 1000)")
+        parser.add_argument("--sample_steps", type=int, default=20,
+                            help="DDIM steps used for visuals/eval sampling")
+        parser.add_argument("--diff_nf", type=int, default=64,
+                            help="denoiser UNet base width")
+        return parser
+
+    def initialize(self, opt):
+        BaseModel.initialize(self, opt)
+        self.loss_names = ["G"]
+        self.visual_names = ["real_A", "fake_B", "real_B"]
+        self.model_names = ["G"]
+
+        dtype = jnp.bfloat16 if getattr(opt, "dtype", "bfloat16") == "bfloat16" else None
+        self.net = DenoiseUNet(out_nc=opt.output_nc, nf=getattr(opt, "diff_nf", 64),
+                               dtype=dtype)
+        h, w = opt.fineSize_h, opt.fineSize_w
+        rng = jax.random.PRNGKey(getattr(opt, "seed", 20))
+        rng, kp, ks = jax.random.split(rng, 3)
+
+        def build(k):
+            xt = jnp.zeros((1, h, w, opt.output_nc), jnp.float32)
+            cond = jnp.zeros((1, h, w, opt.input_nc), jnp.float32)
+            return self.net.init(k, xt, cond, jnp.zeros((1,), jnp.int32))["params"]
+
+        params = jax.jit(build)(kp)
+        cfg = DiffusionConfig(
+            timesteps=getattr(opt, "timesteps", 1000),
+            compute_dtype=dtype,
+        )
+        self.cfg = cfg
+        adam = make_adam(cfg.beta1)
+        self.state = DiffusionState(
+            params=params, opt=adam.init(params), rng=ks,
+            step=jnp.zeros((), jnp.int32),
+        )
+        if self.isTrain:
+            self._step_fn = jax.jit(
+                make_diffusion_train_step(self.net, cfg), donate_argnums=(0,)
+            )
+        self._sampler = jax.jit(
+            make_ddim_sampler(self.net, cfg, getattr(opt, "sample_steps", 20))
+        )
+        self.lr = getattr(opt, "lr", 2e-4)
+        self.fake_B = None
+
+    def set_input(self, input):
+        AtoB = self.opt.which_direction == "AtoB"
+        self.real_A = jnp.asarray(input["A" if AtoB else "B"])
+        self.real_B = jnp.asarray(input["B" if AtoB else "A"])
+        self.image_paths = input.get("A_paths" if AtoB else "B_paths", [])
+
+    def optimize_parameters(self):
+        self.state, self._metrics = self._step_fn(
+            self.state, self.real_A, self.real_B, jnp.float32(self.lr)
+        )
+
+    def forward(self):
+        rng = jax.random.fold_in(jax.random.PRNGKey(0), int(np.asarray(self.state.step)))
+        cond = self.real_A.astype(jnp.float32)
+        self.fake_B = self._sampler(self.state.params, cond, rng)
+        return self.fake_B
+
+    def get_current_visuals(self):
+        # sampling is expensive; run it only when visuals are actually asked
+        self.forward()
+        return BaseModel.get_current_visuals(self)
+
+    def cal_ssim(self, input=None):
+        return 0.0
+
+    def cal_psnr(self, input=None):
+        return 0.0
+
+    def _network_params(self):
+        return {"G": self.state.params}
+
+    def _checkpoint_pytree(self):
+        return {
+            "state": self.state,
+            "lr_last_epoch": np.asarray(self._last_epoch, np.int32),
+        }
+
+    def _load_checkpoint_pytree(self, tree):
+        self.state = tree["state"]
+        self._last_epoch = int(tree["lr_last_epoch"])
+        if self.isTrain:
+            self._set_lr_from_schedule()

@@ -87,6 +87,10 @@ class ConvNeXtBlock(nn.Module):
 
     plans: int
     dtype: Any = None
+    # forward-only builds skip the fused Pallas path: its win is the fused
+    # backward; at pure inference it loses to XLA (18.6 vs 11.5 ms full-G
+    # at 512^2 b1 on v5e)
+    inference: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -107,7 +111,8 @@ class ConvNeXtBlock(nn.Module):
         )
         hw = x.shape[1] * x.shape[2]
         use_fused = (
-            (pallas_enabled() or pallas_interpret())
+            not self.inference
+            and (pallas_enabled() or pallas_interpret())
             and dtype == jnp.bfloat16
             and tanh_gelu
             and dim >= 32
@@ -278,13 +283,18 @@ class MixConvNeXtML(nn.Module):
     remat: bool = False  # rematerialize Blocks: trades ~1 extra forward
     #                      of each Block for most of the G residual memory
     #                      (enables larger batches / 512^2-class inputs)
+    inference: bool = False  # forward-only build: disables the train-only
+    #                          fused Pallas block path (see ConvNeXtBlock)
 
     @nn.compact
     def __call__(self, x):
         in_dtype = x.dtype
         x = x.astype(self.dtype or x.dtype)
         dt = self.dtype
-        Block = nn.remat(ConvNeXtBlock) if self.remat else ConvNeXtBlock
+        import functools as _ft
+
+        _B = nn.remat(ConvNeXtBlock) if self.remat else ConvNeXtBlock
+        Block = _ft.partial(_B, inference=self.inference)
 
         # -- global stream encoder
         r1 = Block(64, dtype=dt, name="c1")(x)

@@ -350,8 +350,17 @@ class Pix2PixModel(BaseModel):
                 step=jnp.zeros((), jnp.int32),
             )
 
+        # inference uses a forward-only build of the same generator
+        # (identical param tree): the fused Pallas block path is train-only
+        # — its advantage is the fused backward, and forward-only it loses
+        # to XLA (see registry.define_G docstring).
+        netG_infer = registry.define_G(
+            opt.input_nc, opt.output_nc, opt.ngf, opt.which_model_netG,
+            opt.norm, not opt.no_dropout, dtype=dtype,
+            remat=getattr(opt, "remat", False), inference=True,
+        )
         self._infer_fn = jax.jit(
-            lambda pg, x: _apply_net(self.netG, pg, x, False)
+            lambda pg, x: _apply_net(netG_infer, pg, x, False)
         )
         self.lr = getattr(opt, "lr", 2e-4)
 

@@ -31,10 +31,14 @@ from dsgan_tpu.ops.initializers import make_initializer
 
 
 def define_G(input_nc, output_nc, ngf, which_model_netG, norm="instance",
-             use_dropout=False, dtype=jnp.bfloat16, remat=False):
+             use_dropout=False, dtype=jnp.bfloat16, remat=False,
+             inference=False):
     """Generator factory (reference networks.py:81-113). ``remat``
     enables activation rematerialization on the flagship generator's
-    Blocks (memory-for-FLOPs for large batch/resolution)."""
+    Blocks (memory-for-FLOPs for large batch/resolution). ``inference``
+    builds the forward-only variant: the fused Pallas block path is
+    skipped there (its win is the fused backward; forward-only it loses
+    to XLA — 18.6 vs 11.5 ms at 512^2 batch 1, measured)."""
     if which_model_netG == "resnet_9blocks":
         return ResnetGenerator(output_nc, ngf, 9, norm, use_dropout, dtype=dtype)
     if which_model_netG == "resnet_6blocks":
@@ -48,7 +52,7 @@ def define_G(input_nc, output_nc, ngf, which_model_netG, norm="instance",
     if which_model_netG == "cascaded":
         return CascadedGenerator(output_nc, ngf, dtype=dtype)
     if which_model_netG == "MixConvNeXtML":
-        return MixConvNeXtML(dtype=dtype, remat=remat)
+        return MixConvNeXtML(dtype=dtype, remat=remat, inference=inference)
     raise NotImplementedError(
         f"Generator model name [{which_model_netG}] is not recognized"
     )

@@ -92,15 +92,19 @@ def main(argv=None, dataset_path=None, out_path=None):
                 print(f"profiler trace written to {profile_dir}")
             global_step += 1
 
-            # device scalars; kept lazy — no host sync here
-            ssim_hist.append(model._metrics["ssim"])
-            psnr_hist.append(model._metrics["psnr"])
+            # device scalars; kept lazy — no host sync here (models whose
+            # step has no cheap per-iter quality metric, e.g. diffusion,
+            # simply omit them)
+            if "ssim" in model._metrics:
+                ssim_hist.append(model._metrics["ssim"])
+            if "psnr" in model._metrics:
+                psnr_hist.append(model._metrics["psnr"])
             if bar:
                 bar.update(1)
 
             if (i + 1) % output_freq == 0:
-                ssim_avg = float(np.mean([np.asarray(s) for s in ssim_hist]))
-                psnr_avg = float(np.mean([np.asarray(p) for p in psnr_hist]))
+                ssim_avg = float(np.mean([np.asarray(s) for s in ssim_hist])) if ssim_hist else 0.0
+                psnr_avg = float(np.mean([np.asarray(p) for p in psnr_hist])) if psnr_hist else 0.0
                 losses = model.get_current_losses()
                 t = (time.time() - iter_start_time) / opt.batchSize
                 visualizer.print_current_losses(

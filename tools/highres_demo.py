@@ -38,7 +38,8 @@ from dsgan_tpu.models import define_G, init_params
 
 def main():
     dtype = jnp.bfloat16
-    g = define_G(3, 3, 32, "MixConvNeXtML", dtype=dtype, remat=True)
+    g = define_G(3, 3, 32, "MixConvNeXtML", dtype=dtype, remat=True,
+                 inference=True)
     params = init_params(g, jax.random.PRNGKey(0), (1, SIZE, SIZE, 3), "normal")["params"]
     x = jnp.asarray(
         np.random.default_rng(0).uniform(-1, 1, (1, SIZE, SIZE, 3)).astype(np.float32)
@@ -57,16 +58,15 @@ def main():
         assert err < 2e-2
         return
 
-    fwd = jax.jit(lambda p, x: g.apply({"params": p}, x))
-    y = fwd(params, x)
-    jax.block_until_ready(y)
-    t0 = time.perf_counter()
-    for _ in range(5):
-        y = fwd(params, x)
-    float(np.asarray(y).ravel()[0])
-    dt = (time.perf_counter() - t0) / 5
+    # device time via xprof (wall-clock through the axon relay adds
+    # seconds of transfer/dispatch overhead that is not the chip's cost)
+    from tools.opbench import time_device
+
+    fwd = lambda p, x: g.apply({"params": p}, x)
+    dt = time_device(f"{SIZE}x{SIZE} batch-1 forward", fwd, params, x, n=5)
+    y = jax.jit(fwd)(params, x)
     print(f"{SIZE}x{SIZE} batch-1 MixConvNeXtML forward on "
-          f"{jax.devices()[0].device_kind}: {dt*1e3:.1f} ms/frame "
+          f"{jax.devices()[0].device_kind}: {dt*1e3:.1f} ms device/frame "
           f"({1.0/dt:.1f} fps), output {tuple(y.shape)} {y.dtype}")
 
 
