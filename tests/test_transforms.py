@@ -1,0 +1,134 @@
+"""Direct unit tests for the data-transform pipeline and UnalignedDataset
+indexing (reference base_dataset.py:17-39 / unaligned_dataset.py)."""
+import argparse
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from dsgan_tpu.data import transforms as T
+from dsgan_tpu.data.datasets import UnalignedDataset
+
+
+def _opt(**kw):
+    ns = argparse.Namespace(
+        resize_or_crop="resize_and_crop",
+        fineSize_w=8, fineSize_h=8, loadSize_w=12, loadSize_h=12,
+        no_flip=True, which_direction="AtoB", input_nc=3, output_nc=3,
+        serial_batches=False, seed=7, phase="train",
+    )
+    for k, v in kw.items():
+        setattr(ns, k, v)
+    return ns
+
+
+def _img(w, h, seed=0):
+    rng = np.random.default_rng(seed)
+    return Image.fromarray(rng.integers(0, 255, (h, w, 3)).astype(np.uint8))
+
+
+def test_resize_and_crop_mode():
+    tf = T.get_transform(_opt(), np.random.default_rng(0))
+    out = tf(_img(30, 20))
+    assert out.shape == (8, 8, 3)
+    assert out.min() >= -1.0 and out.max() <= 1.0
+
+
+def test_crop_mode_no_resize():
+    """'crop' leaves size alone, then random-crops to fineSize — pixels
+    must come from the original image unchanged (modulo [-1,1] scaling)."""
+    img = _img(16, 16, seed=3)
+    tf = T.get_transform(_opt(resize_or_crop="crop"), np.random.default_rng(1))
+    out = tf(img)
+    assert out.shape == (8, 8, 3)
+    src = np.asarray(img, np.float32) / 255.0 * 2 - 1
+    # the 8x8 crop must be a contiguous window of the source
+    found = any(
+        np.allclose(out, src[y:y + 8, x:x + 8], atol=1e-6)
+        for y in range(9) for x in range(9)
+    )
+    assert found
+
+
+def test_scale_width_mode_preserves_aspect():
+    tf = T.get_transform(_opt(resize_or_crop="scale_width"), np.random.default_rng(0))
+    out = tf(_img(32, 16))  # 2:1 -> width 8 => height 4
+    assert out.shape == (4, 8, 3)
+
+
+def test_scale_width_and_crop_mode():
+    tf = T.get_transform(
+        _opt(resize_or_crop="scale_width_and_crop"), np.random.default_rng(0)
+    )
+    out = tf(_img(48, 24))  # scaled to loadSize width 12 (height 6), crop 8x8 -> h<8 clamps
+    # height after scale = 6 < fineSize 8: crop clamps offset to 0 and slicing
+    # yields the full 6 rows
+    assert out.shape[1] == 8 and out.shape[2] == 3
+
+
+def test_unknown_mode_raises():
+    tf = T.get_transform(_opt(resize_or_crop="nope"), np.random.default_rng(0))
+    with pytest.raises(ValueError):
+        tf(_img(8, 8))
+
+
+def test_flip_applies_horizontally():
+    img = _img(8, 8, seed=5)
+    opt = _opt(resize_or_crop="crop", no_flip=False, fineSize_w=8, fineSize_h=8)
+    rng = np.random.default_rng(0)
+    # drive until a flip occurs; flip is exactly reversal of columns
+    src = np.asarray(img, np.float32) / 255.0 * 2 - 1
+    tf = T.get_transform(opt, rng)
+    outs = [tf(img) for _ in range(20)]
+    assert any(np.allclose(o, src[:, ::-1, :], atol=1e-6) for o in outs)
+    assert any(np.allclose(o, src, atol=1e-6) for o in outs)
+
+
+def test_joint_random_crop_same_window():
+    rng = np.random.default_rng(0)
+    a = np.arange(10 * 10 * 1, dtype=np.float32).reshape(10, 10, 1)
+    b = a + 1000
+    ca, cb = T.joint_random_crop(a, b, 4, 4, rng)
+    assert ca.shape == (4, 4, 1)
+    np.testing.assert_allclose(cb - ca, 1000)
+
+
+def _unaligned_root(tmp_path, na=3, nb=5):
+    for d, n in (("trainA", na), ("trainB", nb)):
+        os.makedirs(tmp_path / d)
+        for i in range(n):
+            _img(8, 8, seed=i).save(tmp_path / d / f"{i}.png")
+    return str(tmp_path)
+
+
+def test_unaligned_serial_indexing(tmp_path):
+    opt = _opt(resize_or_crop="crop", serial_batches=True, phase="train")
+    opt.dataroot = _unaligned_root(tmp_path)
+    ds = UnalignedDataset()
+    ds.initialize(opt)
+    assert len(ds) == 5  # max(A_size, B_size), reference unaligned_dataset.py:55
+    item = ds[4]
+    # A wraps modulo A_size=3 -> A index 1; B serial -> index 4
+    assert item["A_paths"].endswith("1.png")
+    assert item["B_paths"].endswith("4.png")
+    assert item["A"].shape == (8, 8, 3) and item["B"].shape == (8, 8, 3)
+
+
+def test_unaligned_random_b_pairing(tmp_path):
+    opt = _opt(resize_or_crop="crop", serial_batches=False, phase="train")
+    opt.dataroot = _unaligned_root(tmp_path)
+    ds = UnalignedDataset()
+    ds.initialize(opt, rng=np.random.default_rng(0))
+    bs = {ds[0]["B_paths"] for _ in range(20)}
+    assert len(bs) > 1  # random pairing draws different B files
+
+
+def test_unaligned_gray_channels(tmp_path):
+    opt = _opt(resize_or_crop="crop", input_nc=1, output_nc=3, phase="train")
+    opt.dataroot = _unaligned_root(tmp_path)
+    ds = UnalignedDataset()
+    ds.initialize(opt)
+    item = ds[0]
+    assert item["A"].shape == (8, 8, 1)
+    assert item["B"].shape == (8, 8, 3)
