@@ -19,6 +19,7 @@ Streams:
 
 from typing import Any
 
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
@@ -104,7 +105,21 @@ class ConvNeXtBlock(nn.Module):
         w1, b1 = _DenseParams(4 * dim, dim, name="pwconv1")()
         w2, b2 = _DenseParams(self.plans, 4 * dim, name="pwconv2")()
         wsc = _Conv1x1Params(self.plans, dim, name="shortcut")()
-        h = Conv(dim, 7, padding=3, groups=dim, dtype=dtype, name="dwconv")(x)
+        if dim <= 8:
+            # Small-channel depthwise conv (c1: dim=3) as a DENSE conv with
+            # a diagonal-masked kernel: XLA's feature-grouped lowering is
+            # catastrophic at tiny C (26.2 ms fwd+bwd vs 3.0 ms for the
+            # identical math dense-masked, 16x256^2x3 on v5e). Params stay
+            # in the grouped layout (checkpoint-identical).
+            kdw, bdw = _DWParams(7, dim, name="dwconv")()
+            eye = jnp.eye(dim, dtype=kdw.dtype)[None, None]
+            wd = eye * kdw[:, :, 0, :][:, :, None, :]
+            wd, bd = jax.lax.optimization_barrier(
+                (wd.astype(dtype), bdw.astype(dtype))
+            )
+            h = ops.conv2d(x.astype(dtype), wd, bd, stride=1, padding=3)
+        else:
+            h = Conv(dim, 7, padding=3, groups=dim, dtype=dtype, name="dwconv")(x)
 
         tanh_gelu = _GELU_MODE == "tanh" or (
             _GELU_MODE == "auto" and dtype == jnp.bfloat16
