@@ -149,6 +149,9 @@ class BaseModel:
     def save_networks(self, which_epoch):
         path = ckpt.save_state(self.save_dir, which_epoch, self._checkpoint_pytree())
         print(f"saved checkpoint: {path}")
+        k = int(getattr(self.opt, "keep_ckpts", 0) or 0)
+        if k > 0:
+            ckpt.keep_latest(self.save_dir, k)
 
     def load_networks(self, which_epoch):
         if which_epoch == "latest":

@@ -46,6 +46,9 @@ class TrainOptions(BaseOptions):
                             help="discriminator replay-pool capacity (0 disables)")
         parser.add_argument("--no_html", action="store_true",
                             help="skip writing the HTML result gallery")
+        parser.add_argument("--keep_ckpts", type=int, default=0,
+                            help="retention policy: keep only the newest K "
+                                 "epoch checkpoints (0 = keep all)")
         parser.add_argument("--lr_policy", type=str, default="lambda",
                             help="schedule: lambda (linear decay) | step | plateau")
         parser.add_argument("--lr_decay_iters", type=int, default=50,

@@ -8,28 +8,73 @@ Differences by design:
   * Optimizer state, replay-pool state, RNG and step counter are saved
     with the params, so --continue_train resumes the exact trajectory
     (the reference restarts Adam moments, SURVEY §5).
+  * Saves are ASYNC: the device->host fetch happens synchronously but
+    serialization overlaps the next epoch's training; in-flight saves are
+    finalized on the next save and at interpreter exit.
+  * Optional retention: keep_latest(save_dir, k) prunes all but the k
+    newest epoch dirs (wired to --keep_ckpts in the train CLI).
 """
 
+import atexit
 import os
+import shutil
 
 import jax
 import numpy as np
 import orbax.checkpoint as ocp
+
+_async_ckptr = None
+
+
+def _get_async_checkpointer():
+    global _async_ckptr
+    if _async_ckptr is None:
+        _async_ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+        atexit.register(_async_ckptr.wait_until_finished)
+    return _async_ckptr
 
 
 def _epoch_dir(save_dir, epoch):
     return os.path.abspath(os.path.join(save_dir, f"epoch_{epoch}"))
 
 
-def save_state(save_dir, epoch, state_pytree):
+def save_state(save_dir, epoch, state_pytree, async_save=True):
     os.makedirs(save_dir, exist_ok=True)
     path = _epoch_dir(save_dir, epoch)
-    with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(path, state_pytree, force=True)
+    if async_save:
+        ckptr = _get_async_checkpointer()
+        ckptr.save(path, args=ocp.args.StandardSave(state_pytree), force=True)
+    else:
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(path, state_pytree, force=True)
     return path
 
 
+def wait_for_saves():
+    """Block until any in-flight async save has been finalized."""
+    if _async_ckptr is not None:
+        _async_ckptr.wait_until_finished()
+
+
+def keep_latest(save_dir, k):
+    """Retention policy: delete all but the k newest epoch_* checkpoints.
+    In-flight saves are finalized first so the newest dir is complete."""
+    if not k or k <= 0 or not os.path.isdir(save_dir):
+        return
+    wait_for_saves()
+    epochs = []
+    for name in os.listdir(save_dir):
+        if name.startswith("epoch_"):
+            try:
+                epochs.append(int(name.split("_", 1)[1]))
+            except ValueError:
+                pass
+    for e in sorted(epochs)[:-k]:
+        shutil.rmtree(_epoch_dir(save_dir, e), ignore_errors=True)
+
+
 def restore_state(save_dir, epoch, target_pytree):
+    wait_for_saves()
     path = _epoch_dir(save_dir, epoch)
     if not os.path.isdir(path):
         raise FileNotFoundError(f"checkpoint not found: {path}")
@@ -40,6 +85,7 @@ def restore_state(save_dir, epoch, target_pytree):
 def restore_untyped(save_dir, epoch):
     """Restore as plain nested dicts (no target) — used by inference-only
     loads that pick the generator params out of a full train checkpoint."""
+    wait_for_saves()
     path = _epoch_dir(save_dir, epoch)
     if not os.path.isdir(path):
         raise FileNotFoundError(f"checkpoint not found: {path}")
@@ -49,6 +95,7 @@ def restore_untyped(save_dir, epoch):
 
 def latest_epoch(save_dir):
     """Highest epoch number present in save_dir, or None."""
+    wait_for_saves()
     if not os.path.isdir(save_dir):
         return None
     epochs = []

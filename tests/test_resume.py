@@ -52,3 +52,30 @@ def test_lr_position_restored(tmp_path):
     m2 = make_model(tmp_path, name="lr_a", continue_train=True, which_epoch="12")
     m2.setup(m2.opt)
     assert abs(m2.lr - lr_before) < 1e-12
+
+
+def test_async_save_then_restore_roundtrip(tmp_path):
+    """Async orbax save is finalized before a subsequent restore reads it."""
+    import jax.numpy as jnp
+    from dsgan_tpu.utils import checkpoint as ckpt
+
+    tree = {"a": jnp.arange(5, dtype=jnp.float32), "b": {"c": jnp.ones((2, 2))}}
+    ckpt.save_state(str(tmp_path), 3, tree, async_save=True)
+    got = ckpt.restore_state(str(tmp_path), 3, tree)
+    np.testing.assert_allclose(np.asarray(got["a"]), np.arange(5, dtype=np.float32))
+    assert ckpt.latest_epoch(str(tmp_path)) == 3
+
+
+def test_keep_latest_retention(tmp_path):
+    import jax.numpy as jnp
+    from dsgan_tpu.utils import checkpoint as ckpt
+
+    tree = {"x": jnp.zeros((2,))}
+    for e in range(1, 6):
+        ckpt.save_state(str(tmp_path), e, tree, async_save=True)
+    ckpt.keep_latest(str(tmp_path), 2)
+    import os
+    left = sorted(d for d in os.listdir(tmp_path) if d.startswith("epoch_"))
+    assert left == ["epoch_4", "epoch_5"]
+    # the survivors are still restorable
+    ckpt.restore_state(str(tmp_path), 5, tree)
