@@ -1,0 +1,153 @@
+"""Video colorization evaluation: frame-parallel batched inference over an
+ordered frame directory + temporal-consistency metrics.
+
+The reference's IRVI benchmark is video-derived but its repo has no video
+tooling at all (SURVEY §6); this harness adds the capability the TPU-first
+way: frames are batched (the "video axis" is just the batch axis for a
+per-frame colorizer, SURVEY §5), the generator runs its forward-only
+build, and metrics are computed on device.
+
+Temporal consistency is reported flow-free as the warp-free ratio
+
+    TC = mean_t |y_t - y_{t-1}|_1 / mean_t |x_t - x_{t-1}|_1
+
+(how much inter-frame change the colorizer ADDS relative to the change
+already present in the thermal input; 1.0 = perfectly input-driven,
+larger = flicker). Per-frame SSIM/PSNR vs ground truth are included when
+a paired GT directory is given.
+
+Usage:
+    python -m dsgan_tpu.video --dataroot <frames_dir> --name exp \
+        --which_epoch 20 [--gt_dir <rgb_frames>] [--batchSize 8]
+
+Frame order is the sorted filename order.
+"""
+
+import csv
+import os
+import sys
+
+import numpy as np
+
+from dsgan_tpu.options.test_options import TestOptions
+
+
+class VideoOptions(TestOptions):
+    def initialize(self, parser):
+        parser = TestOptions.initialize(self, parser)
+        parser.add_argument("--gt_dir", type=str, default="",
+                            help="optional directory of paired ground-truth "
+                                 "RGB frames (same sorted order) for SSIM/PSNR")
+        return parser
+
+
+def _load_frames(paths, h, w):
+    from PIL import Image
+
+    out = np.empty((len(paths), h, w, 3), np.float32)
+    for i, p in enumerate(paths):
+        img = Image.open(p).convert("RGB").resize((w, h), Image.BICUBIC)
+        out[i] = np.asarray(img, np.float32) / 255.0 * 2.0 - 1.0
+    return out
+
+
+def main(argv=None):
+    import jax
+    import jax.numpy as jnp
+
+    opt = VideoOptions().parse(argv=argv)
+    opt.isTrain = False
+
+    from dsgan_tpu.data.image_folder import IMG_EXTENSIONS
+    from dsgan_tpu.models import registry
+    from dsgan_tpu import ops
+
+    frame_dir = opt.dataroot
+    paths = sorted(
+        os.path.join(frame_dir, f) for f in os.listdir(frame_dir)
+        if any(f.lower().endswith(e) for e in IMG_EXTENSIONS)
+    )
+    if len(paths) < 2:
+        raise SystemExit(f"need >=2 frames in {frame_dir}, found {len(paths)}")
+    h, w = opt.fineSize_h, opt.fineSize_w
+
+    dtype = jnp.bfloat16 if getattr(opt, "dtype", "bfloat16") == "bfloat16" else None
+    g = registry.define_G(
+        opt.input_nc, opt.output_nc, opt.ngf, opt.which_model_netG,
+        opt.norm, dtype=dtype, inference=True,
+    )
+    params = registry.init_params(g, jax.random.PRNGKey(0), (1, h, w, 3), "normal")["params"]
+
+    # pull the generator out of a training checkpoint
+    from dsgan_tpu.utils import checkpoint as ckpt
+
+    save_dir = os.path.join(opt.checkpoints_dir, opt.name)
+    which = opt.which_epoch
+    if which == "latest":
+        which = ckpt.latest_epoch(save_dir)
+    tree = ckpt.restore_untyped(save_dir, which)
+    params = jax.tree_util.tree_map(jnp.asarray, tree["state"]["params_G"])
+    print(f"loaded generator from epoch {which}")
+
+    infer = jax.jit(lambda p, x: g.apply({"params": p}, x))
+
+    bs = max(int(opt.batchSize), 1)
+    ys = []
+    for i in range(0, len(paths), bs):
+        chunk = paths[i:i + bs]
+        x = _load_frames(chunk, h, w)
+        if len(chunk) < bs:  # pad to the compiled batch, drop after
+            x = np.concatenate([x, np.zeros((bs - len(chunk), h, w, 3), np.float32)])
+        y = np.asarray(infer(params, jnp.asarray(x)), np.float32)[: len(chunk)]
+        ys.append(y)
+    y = np.concatenate(ys)
+    x_all = _load_frames(paths, h, w)
+
+    dy = np.mean(np.abs(y[1:] - y[:-1]))
+    dx = np.mean(np.abs(x_all[1:] - x_all[:-1]))
+    tc = float(dy / max(dx, 1e-8))
+
+    results_dir = os.path.join(opt.results_dir, opt.name, "video")
+    os.makedirs(results_dir, exist_ok=True)
+    rows = [["frame", "d_prev_out", "d_prev_in"]]
+    for t in range(1, len(paths)):
+        rows.append([
+            os.path.basename(paths[t]),
+            float(np.mean(np.abs(y[t] - y[t - 1]))),
+            float(np.mean(np.abs(x_all[t] - x_all[t - 1]))),
+        ])
+
+    ssim_mean = psnr_mean = None
+    if opt.gt_dir:
+        import jax.numpy as jnp
+
+        gt_paths = sorted(
+            os.path.join(opt.gt_dir, f) for f in os.listdir(opt.gt_dir)
+            if any(f.lower().endswith(e) for e in IMG_EXTENSIONS)
+        )
+        assert len(gt_paths) == len(paths), "gt/input frame counts differ"
+        gt = _load_frames(gt_paths, h, w)
+        yq = ops.metrics.quantize_uint8(jnp.asarray(y))
+        gq = ops.metrics.quantize_uint8(jnp.asarray(gt))
+        ssim_mean = float(np.asarray(ops.ssim_uint8(gq, yq)))
+        psnr_mean = float(np.asarray(ops.psnr_uint8(gq, yq)))
+
+    with open(os.path.join(results_dir, "temporal.csv"), "w", newline="") as f:
+        wtr = csv.writer(f)
+        wtr.writerows(rows)
+        wtr.writerow([])
+        wtr.writerow(["temporal_consistency_ratio", tc])
+        if ssim_mean is not None:
+            wtr.writerow(["mean_ssim", ssim_mean])
+            wtr.writerow(["mean_psnr", psnr_mean])
+
+    msg = f"frames: {len(paths)}  temporal-consistency ratio: {tc:.4f}"
+    if ssim_mean is not None:
+        msg += f"  mean SSIM: {ssim_mean:.4f}  mean PSNR: {psnr_mean:.3f}"
+    print(msg)
+    print(f"wrote {os.path.join(results_dir, 'temporal.csv')}")
+    return tc
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
