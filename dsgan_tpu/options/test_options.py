@@ -19,6 +19,10 @@ class TestOptions(BaseOptions):
                             help="dataset phase subfolder to evaluate")
         parser.add_argument("--which_epoch", type=str, default="1",
                             help="checkpoint epoch to evaluate ('latest' picks the newest)")
+        parser.add_argument("--load_npz", type=str, default="",
+                            help="evaluate converted reference generator "
+                                 "weights (.npz from pth_convert g) instead "
+                                 "of a framework checkpoint")
         parser.add_argument("--how_many", type=int, default=1000,
                             help="number of images to run through the generator")
         self.isTrain = False

@@ -31,7 +31,20 @@ def main(argv=None, dataset_path=None, out_path=None):
     data_loader = CreateDataLoader(opt, "test")
     dataset = data_loader.load_data()
     model = create_model(opt)
-    model.setup(opt)
+    if getattr(opt, "load_npz", ""):
+        # reference-checkpoint parity evaluation: generator params come
+        # from a converted torch .pth (utils/pth_convert g), bypassing
+        # framework checkpoints entirely
+        import jax
+        import jax.numpy as jnp
+
+        from dsgan_tpu.utils.pth_convert import load_params_npz
+
+        params_G = jax.tree_util.tree_map(jnp.asarray, load_params_npz(opt.load_npz))
+        model.state = model.state.replace(params_G=params_G)
+        print(f"loaded converted generator weights from {opt.load_npz}")
+    else:
+        model.setup(opt)
 
     web_dir = os.path.join(opt.results_dir, opt.name, f"{opt.phase}_{opt.which_epoch}")
     webpage = html.HTML(

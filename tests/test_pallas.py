@@ -161,41 +161,3 @@ def test_convnext_block_fused_path_parity(monkeypatch):
             )
     finally:
         set_gelu_mode("auto")
-
-
-@pytest.mark.parametrize("c,p,hw", [(64, 64, 8), (128, 64, 4)])
-def test_block_mlp_parity(c, p, hw):
-    from dsgan_tpu.pallas.block_mlp import block_mlp, block_mlp_reference
-
-    rng = np.random.default_rng(11)
-    h = jnp.asarray(rng.standard_normal((2, hw, hw, c)).astype(np.float32))
-    x = jnp.asarray(rng.standard_normal((2, hw, hw, c)).astype(np.float32))
-    mean = jnp.mean(h, axis=(1, 2), keepdims=True)
-    rsig = 1.0 / jnp.sqrt(jnp.var(h, axis=(1, 2), keepdims=True) + 1e-5)
-    w1 = jnp.asarray(rng.standard_normal((c, 4 * c)).astype(np.float32)) * 0.05
-    b1 = jnp.asarray(rng.standard_normal((4 * c,)).astype(np.float32))
-    w2 = jnp.asarray(rng.standard_normal((4 * c, p)).astype(np.float32)) * 0.05
-    b2 = jnp.asarray(rng.standard_normal((p,)).astype(np.float32))
-    ws = jnp.asarray(rng.standard_normal((c, p)).astype(np.float32)) * 0.05
-
-    want = block_mlp_reference(h, x, mean, rsig, w1, b1, w2, b2, ws)
-    got = block_mlp(h, x, mean, rsig, w1, b1, w2, b2, ws, interpret=True)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-3, atol=2e-3)
-
-
-def test_block_mlp_hidden_chunking():
-    from dsgan_tpu.pallas.block_mlp import block_mlp, block_mlp_reference
-
-    rng = np.random.default_rng(12)
-    c, p, hw = 64, 32, 4
-    h = jnp.asarray(rng.standard_normal((1, hw, hw, c)).astype(np.float32))
-    x = jnp.asarray(rng.standard_normal((1, hw, hw, c)).astype(np.float32))
-    mean = jnp.zeros((1, 1, 1, c)); rsig = jnp.ones((1, 1, 1, c))
-    w1 = jnp.asarray(rng.standard_normal((c, 4 * c)).astype(np.float32)) * 0.05
-    b1 = jnp.zeros((4 * c,)); b2 = jnp.zeros((p,))
-    w2 = jnp.asarray(rng.standard_normal((4 * c, p)).astype(np.float32)) * 0.05
-    ws = jnp.asarray(rng.standard_normal((c, p)).astype(np.float32)) * 0.05
-    want = block_mlp_reference(h, x, mean, rsig, w1, b1, w2, b2, ws)
-    got = block_mlp(h, x, mean, rsig, w1, b1, w2, b2, ws,
-                    hidden_chunk=64, interpret=True)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-3, atol=2e-3)

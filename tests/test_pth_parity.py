@@ -71,3 +71,49 @@ def test_patchgan_forward_parity_with_converted_weights(tmp_path):
         want = net(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy().transpose(0, 2, 3, 1)
     got = np.asarray(d.apply({"params": params}, jnp.asarray(x), train=False))
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_eval_cli_with_converted_npz(tmp_path):
+    """End-to-end: pth_convert g -> .npz -> `dsgan_tpu.test --load_npz`
+    (the reference-checkpoint quality-parity evaluation path)."""
+    from PIL import Image
+
+    sys.path.insert(0, os.path.join(REF, "models", "model"))
+    try:
+        import MixConvNeXtML as refmod
+
+        torch.manual_seed(1)
+        net = refmod.MixConvNeXtML().eval()
+    finally:
+        sys.path.pop(0)
+    pth = tmp_path / "g.pth"
+    torch.save(net.state_dict(), pth)
+    from dsgan_tpu.utils.pth_convert import save_params_npz
+
+    npz = tmp_path / "g.npz"
+    save_params_npz(convert_mixconvnext(str(pth)), str(npz))
+
+    droot = tmp_path / "data" / "test_all"
+    os.makedirs(droot)
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        for pfx in "ab":
+            Image.fromarray(
+                rng.integers(0, 255, (32, 32, 3)).astype(np.uint8)
+            ).save(droot / f"{pfx}_{i}.png")
+
+    from dsgan_tpu import test as eval_cli
+
+    eval_cli.main([
+        "--dataroot", str(tmp_path / "data"), "--name", "npz_eval",
+        "--checkpoints_dir", str(tmp_path / "ckpt"),
+        "--results_dir", str(tmp_path / "results"),
+        "--load_npz", str(npz), "--how_many", "2",
+        "--dtype", "float32",
+        "--fineSize_w", "32", "--fineSize_h", "32",
+        "--loadSize_w", "32", "--loadSize_h", "32",
+    ])
+    out = tmp_path / "results" / "npz_eval" / "test_all" / "_1" / "metrics.csv"
+    assert out.exists()
+    assert "mean" in out.read_text()
