@@ -142,6 +142,12 @@ def main(argv=None, dataset_path=None, out_path=None):
         )
         model.update_learning_rate()
 
+    # checkpoint saves are async (overlapping training); honor the CLI
+    # contract that all checkpoints exist on disk when train returns
+    from dsgan_tpu.utils import checkpoint as _ckpt
+
+    _ckpt.wait_for_saves()
+
 
 if __name__ == "__main__":
     main(sys.argv[1:])
