@@ -252,10 +252,24 @@ class MidMLKA(nn.Module):
                 )
             out = jnp.concatenate(outs, axis=-1)
         out = Conv(dim, 1, dtype=self.dtype, name="conv")(out)
-        out = out * ChannelAttention(dtype=self.dtype, name="attn")(out)
-        out = ops.instance_norm(out)
-        out = out + x
-        return gelu(out)
+        gate = ChannelAttention(dtype=self.dtype, name="attn")(out)
+        # Gated InstanceNorm without materializing out*gate: the CBAM gate
+        # is a POSITIVE per-(b,c) scalar g, and InstanceNorm statistics of
+        # g*out are (g*mean, g^2*var), so
+        #     IN(out*g) = (out - mean) * g * rsqrt(g^2*var + eps)
+        # — algebraically identical (incl. the eps interaction the gate
+        # survives through), but needs only out's own stats and ONE fused
+        # elementwise pass instead of gate-mul + second stats + normalize.
+        gf = gate[:, 0, 0, :].astype(jnp.float32)
+        xf = out.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=(1, 2))
+        var = jnp.maximum(
+            jnp.mean(jnp.square(xf), axis=(1, 2)) - jnp.square(mean), 0.0
+        )
+        s = gf * jax.lax.rsqrt(jnp.square(gf) * var + 1e-5)
+        scale = s[:, None, None, :].astype(out.dtype)
+        shift = (mean * s)[:, None, None, :].astype(out.dtype)
+        return gelu(out * scale - shift + x)
 
 
 class OriginMLKA(nn.Module):
