@@ -8,12 +8,13 @@ Prints ONE JSON line:
 vs_baseline is against the 1,000 img/s/chip north star in BASELINE.md
 (the reference publishes no throughput numbers).
 
-Env knobs: BENCH_BATCH (default 16), BENCH_STEPS (default 20),
-BENCH_SIZE (default 256), BENCH_VGG=0 to drop the perceptual term,
-BENCH_GELU=exact to use erf GELU (default: tanh — the perf-optimal
-training configuration, +22% on v5e; erf upcasts big bf16 activations
-to f32. Training quality is equivalent; strict torch-checkpoint parity
-evaluation uses exact via the CLI default).
+Env knobs: BENCH_BATCH (default 16 — the measured v5e sweet spot;
+32 is slightly slower), BENCH_STEPS (default 20), BENCH_SIZE (default
+256), BENCH_VGG=0 to drop the perceptual term, BENCH_GELU=exact for erf
+GELU (default tanh == the CLI's `--gelu auto` resolution for bf16;
+proven <=1 ulp from erf in bf16, tests/test_ops_misc.py). This IS the
+out-of-the-box training configuration: bf16 compute path, fused Pallas
+block kernels ON (as in the CLI on TPU), pool 50, all loss terms.
 """
 
 import json
