@@ -69,7 +69,7 @@ def _bwd_vmem(tm, c, h4, p, hc):
     )
 
 
-def _pick_tm(m_per_image, est, budget=11 * 1024 * 1024):
+def _pick_tm(m_per_image, est, budget=14 * 1024 * 1024):
     for tm in (2048, 1024, 512, 256, 128):
         if m_per_image % tm != 0:
             continue
