@@ -39,6 +39,62 @@ class BaseModel:
         self._plateau_best = float("inf")
         self._plateau_bad = 0
         self._plateau_scale = 1.0
+        # --data_axis/--spatial_axis device mesh, resolved on the REAL path
+        # (every step built through _jit_step runs sharded when the mesh is
+        # active — the TPU equivalent of the reference wrapping every net
+        # in DataParallel, networks.py:73-79). None = single device.
+        from dsgan_tpu.parallel import resolve_mesh
+
+        # eval batches are ragged (no drop_last), so inference only uses the
+        # spatial axis (H-sharding for 512^2-class images); the data axis
+        # shards the fixed-size training batch.
+        self.mesh = resolve_mesh(
+            getattr(opt, "data_axis", 0) if self.isTrain else 1,
+            getattr(opt, "spatial_axis", 1),
+            batch_size=getattr(opt, "batchSize", None) if self.isTrain else None,
+            height=getattr(opt, "fineSize_h", None),
+        )
+        if self.mesh is not None:
+            d, s = self.mesh.devices.shape
+            print(f"device mesh: data={d} x spatial={s} "
+                  f"({self.mesh.devices.size} of {len(jax.devices())} devices)")
+
+    # -- mesh plumbing (used by every algorithm's initialize/set_input) -----
+    def _jit_step(self, step_fn, n_batch_args=2, n_batch_outs=1):
+        """jit the fused train step — over the mesh when one is active."""
+        if self.mesh is not None:
+            from dsgan_tpu.parallel import make_parallel_step
+
+            return make_parallel_step(step_fn, self.mesh,
+                                      n_batch_args=n_batch_args,
+                                      n_batch_outs=n_batch_outs)
+        return jax.jit(step_fn, donate_argnums=(0,))
+
+    def _jit_infer(self, apply_fn):
+        """jit a (params, x) generator forward — batch/H sharded on the mesh."""
+        if self.mesh is not None:
+            from dsgan_tpu.parallel import make_parallel_infer
+
+            return make_parallel_infer(apply_fn, self.mesh)
+        return jax.jit(apply_fn)
+
+    def _place_state(self, state):
+        """Replicate train state across the mesh (no-op single-device)."""
+        if self.mesh is not None:
+            from dsgan_tpu.parallel import replicate
+
+            return replicate(state, self.mesh)
+        return state
+
+    def _place_batch(self, arr):
+        """Device-put an NHWC host batch, N x H sharded when on a mesh."""
+        import jax.numpy as jnp
+
+        if self.mesh is not None:
+            from dsgan_tpu.parallel import shard_batch
+
+            return shard_batch(np.asarray(arr), self.mesh)
+        return jnp.asarray(arr)
 
     # -- lifecycle ---------------------------------------------------------
     def setup(self, opt):
@@ -147,11 +203,17 @@ class BaseModel:
         raise NotImplementedError
 
     def save_networks(self, which_epoch):
-        path = ckpt.save_state(self.save_dir, which_epoch, self._checkpoint_pytree())
-        print(f"saved checkpoint: {path}")
         k = int(getattr(self.opt, "keep_ckpts", 0) or 0)
         if k > 0:
-            ckpt.keep_latest(self.save_dir, k)
+            # Prune BEFORE issuing the new async save: keep_latest waits for
+            # in-flight serialization, so pruning afterwards would block on
+            # the save just issued and negate the async overlap. Keeping the
+            # newest k-1 here leaves exactly k on disk once this epoch's
+            # save lands (the wait inside only touches last epoch's save,
+            # which overlapped the whole epoch).
+            ckpt.keep_latest(self.save_dir, k - 1, keep_none_ok=True)
+        path = ckpt.save_state(self.save_dir, which_epoch, self._checkpoint_pytree())
+        print(f"saved checkpoint: {path}")
 
     def load_networks(self, which_epoch):
         if which_epoch == "latest":

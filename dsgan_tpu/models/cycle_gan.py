@@ -247,9 +247,9 @@ class CycleGANModel(BaseModel):
                 pool_B_images=pb_img, pool_B_count=pb_cnt,
                 rng=ks, step=jnp.zeros((), jnp.int32),
             )
-            self._step_fn = jax.jit(
-                make_cyclegan_step(self.netG_A, self.netG_B, self.netD_A, self.netD_B, cfg),
-                donate_argnums=(0,),
+            self.state = self._place_state(self.state)
+            self._step_fn = self._jit_step(
+                make_cyclegan_step(self.netG_A, self.netG_B, self.netD_A, self.netD_B, cfg)
             )
         else:
             self.state = CycleGANState(
@@ -260,14 +260,14 @@ class CycleGANModel(BaseModel):
                 rng=ks, step=jnp.zeros((), jnp.int32),
             )
 
-        self._infer_A = jax.jit(lambda p, x: _apply_net(self.netG_A, p, x, False))
-        self._infer_B = jax.jit(lambda p, x: _apply_net(self.netG_B, p, x, False))
+        self._infer_A = self._jit_infer(lambda p, x: _apply_net(self.netG_A, p, x, False))
+        self._infer_B = self._jit_infer(lambda p, x: _apply_net(self.netG_B, p, x, False))
         self.lr = getattr(opt, "lr", 2e-4)
 
     def set_input(self, input):
         AtoB = self.opt.which_direction == "AtoB"
-        self.real_A = jnp.asarray(input["A" if AtoB else "B"])
-        self.real_B = jnp.asarray(input["B" if AtoB else "A"])
+        self.real_A = self._place_batch(input["A" if AtoB else "B"])
+        self.real_B = self._place_batch(input["B" if AtoB else "A"])
         self.image_paths = input.get("A_paths" if AtoB else "B_paths", [])
 
     def optimize_parameters(self):
@@ -301,7 +301,7 @@ class CycleGANModel(BaseModel):
         return {"state": self.state, "lr_last_epoch": np.asarray(self._last_epoch, np.int32)}
 
     def _load_checkpoint_pytree(self, tree):
-        self.state = tree["state"]
+        self.state = self._place_state(tree["state"])
         self._last_epoch = int(tree["lr_last_epoch"])
         if self.isTrain:
             self._set_lr_from_schedule()

@@ -235,8 +235,9 @@ class DiffusionModel(BaseModel):
             step=jnp.zeros((), jnp.int32),
         )
         if self.isTrain:
-            self._step_fn = jax.jit(
-                make_diffusion_train_step(self.net, cfg), donate_argnums=(0,)
+            self.state = self._place_state(self.state)
+            self._step_fn = self._jit_step(
+                make_diffusion_train_step(self.net, cfg), n_batch_outs=0
             )
         self._sampler = jax.jit(
             make_ddim_sampler(self.net, cfg, getattr(opt, "sample_steps", 20))
@@ -246,8 +247,8 @@ class DiffusionModel(BaseModel):
 
     def set_input(self, input):
         AtoB = self.opt.which_direction == "AtoB"
-        self.real_A = jnp.asarray(input["A" if AtoB else "B"])
-        self.real_B = jnp.asarray(input["B" if AtoB else "A"])
+        self.real_A = self._place_batch(input["A" if AtoB else "B"])
+        self.real_B = self._place_batch(input["B" if AtoB else "A"])
         self.image_paths = input.get("A_paths" if AtoB else "B_paths", [])
 
     def optimize_parameters(self):
@@ -282,7 +283,7 @@ class DiffusionModel(BaseModel):
         }
 
     def _load_checkpoint_pytree(self, tree):
-        self.state = tree["state"]
+        self.state = self._place_state(tree["state"])
         self._last_epoch = int(tree["lr_last_epoch"])
         if self.isTrain:
             self._set_lr_from_schedule()

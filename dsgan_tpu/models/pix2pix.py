@@ -339,9 +339,9 @@ class Pix2PixModel(BaseModel):
                 rng=kstate,
                 step=jnp.zeros((), jnp.int32),
             )
-            self._step_fn = jax.jit(
-                make_train_step(self.netG, self.netD, self.vgg, self.vgg_params, cfg),
-                donate_argnums=(0,),
+            self.state = self._place_state(self.state)
+            self._step_fn = self._jit_step(
+                make_train_step(self.netG, self.netD, self.vgg, self.vgg_params, cfg)
             )
         else:
             self.state = Pix2PixState(
@@ -359,7 +359,7 @@ class Pix2PixModel(BaseModel):
             opt.norm, not opt.no_dropout, dtype=dtype,
             remat=getattr(opt, "remat", False), inference=True,
         )
-        self._infer_fn = jax.jit(
+        self._infer_fn = self._jit_infer(
             lambda pg, x: _apply_net(netG_infer, pg, x, False)
         )
         self.lr = getattr(opt, "lr", 2e-4)
@@ -367,8 +367,8 @@ class Pix2PixModel(BaseModel):
     # -- data in -----------------------------------------------------------
     def set_input(self, input):
         AtoB = self.opt.which_direction == "AtoB"
-        self.real_A = jnp.asarray(input["A" if AtoB else "B"])
-        self.real_B = jnp.asarray(input["B" if AtoB else "A"])
+        self.real_A = self._place_batch(input["A" if AtoB else "B"])
+        self.real_B = self._place_batch(input["B" if AtoB else "A"])
         self.image_paths = input.get("A_paths" if AtoB else "B_paths", [])
 
     # -- step --------------------------------------------------------------
@@ -402,7 +402,7 @@ class Pix2PixModel(BaseModel):
         }
 
     def _load_checkpoint_pytree(self, tree):
-        self.state = tree["state"]
+        self.state = self._place_state(tree["state"])
         self._last_epoch = int(tree["lr_last_epoch"])
         if self.isTrain:
             self._set_lr_from_schedule()
@@ -418,6 +418,8 @@ class Pix2PixModel(BaseModel):
             if which_epoch is None:
                 raise FileNotFoundError(f"no checkpoints in {self.save_dir}")
         tree = ckpt.restore_untyped(self.save_dir, which_epoch)
-        params_G = jax.tree_util.tree_map(jnp.asarray, tree["state"]["params_G"])
+        params_G = self._place_state(
+            jax.tree_util.tree_map(jnp.asarray, tree["state"]["params_G"])
+        )
         self.state = self.state.replace(params_G=params_G)
         print(f"loaded generator from epoch {which_epoch} checkpoint")

@@ -25,7 +25,5 @@ class TestModel(Pix2PixModel):
         self.visual_names = ["real_A", "fake_B"]
 
     def set_input(self, input):
-        import jax.numpy as jnp
-
-        self.real_A = jnp.asarray(input["A"])
+        self.real_A = self._place_batch(input["A"])
         self.image_paths = input.get("A_paths", [])

@@ -28,14 +28,15 @@ def _in_stats(x, eps):
 
 
 def _in_apply(x, mean, rsig):
-    if x.dtype == jnp.float32:
-        return (x.astype(jnp.float32) - mean) * rsig
-    # bf16 inputs: apply as x*scale - shift in the INPUT dtype. The f32
-    # normalize materialized full f32 copies around every norm site
-    # (~12 ms/step of convert_element_type sweeps in the 256^2 train step);
-    # per-(b,c) f32 scalars keep the stats exact while the big elementwise
-    # pass stays bf16 (error ~1 ulp of bf16).
-    return x * rsig.astype(x.dtype) - (mean * rsig).astype(x.dtype)
+    # Subtract the mean in f32, then round the unit-scale result once to
+    # the input dtype. An earlier bf16-only variant (x*rsig - (mean*rsig)
+    # in bf16) carried an absolute error ~ulp(|mean*rsig|), which dominates
+    # the normalized output whenever |mean| >> sigma; this form's only
+    # bf16 rounding is of the O(1) output, and it matches the Pallas
+    # fused-block kernel's normalize exactly. The upcast fuses into the
+    # surrounding elementwise chain (the result is still cast back to
+    # x.dtype before any consumer) — no full f32 materialization.
+    return ((x.astype(jnp.float32) - mean) * rsig).astype(x.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))

@@ -1,5 +1,6 @@
 from dsgan_tpu.parallel.mesh import (
     get_mesh,
+    resolve_mesh,
     shard_batch,
     replicate,
     make_parallel_step,
@@ -10,6 +11,7 @@ from dsgan_tpu.parallel import multihost
 
 __all__ = [
     "get_mesh",
+    "resolve_mesh",
     "shard_batch",
     "replicate",
     "make_parallel_step",

@@ -23,6 +23,53 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def resolve_mesh(data_axis=0, spatial_axis=1, batch_size=None, height=None,
+                 devices=None):
+    """Resolve the CLI flags --data_axis/--spatial_axis to a Mesh or None.
+
+    This is the production entry used by every training algorithm's
+    ``initialize`` (the reference puts its one parallelism mechanism,
+    DataParallel, on the real path for every run — networks.py:73-79;
+    this is the TPU equivalent):
+
+      * ``data_axis == 0`` (the default) means "all visible devices /
+        spatial_axis", reduced to the largest count that divides
+        ``batch_size`` so the batch shards evenly (static shapes).
+      * an explicit ``data_axis`` that does not divide ``batch_size``, or
+        a ``spatial_axis`` that does not divide the image height, is a
+        hard error — silently training on fewer devices than asked for
+        is worse than failing.
+      * a resolved 1x1 mesh returns None: the caller uses the plain
+        single-device jit path.
+    """
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    spatial = max(int(spatial_axis or 1), 1)
+    if spatial > n:
+        raise ValueError(f"--spatial_axis {spatial} exceeds the {n} visible devices")
+    if height is not None and spatial > 1 and height % spatial != 0:
+        raise ValueError(
+            f"--spatial_axis {spatial} must divide the image height {height}"
+        )
+    data = int(data_axis or 0)
+    if data <= 0:
+        data = max(n // spatial, 1)
+        if batch_size is not None:
+            while data > 1 and batch_size % data != 0:
+                data -= 1
+    elif batch_size is not None and batch_size % data != 0:
+        raise ValueError(
+            f"--batchSize {batch_size} must be divisible by --data_axis {data}"
+        )
+    if data * spatial > n:
+        raise ValueError(
+            f"mesh {data}x{spatial} needs more than the {n} visible devices"
+        )
+    if data * spatial == 1:
+        return None
+    return get_mesh(data, spatial, devices)
+
+
 def get_mesh(data_axis=0, spatial_axis=1, devices=None):
     """Build a (data, spatial) mesh. data_axis=0 means 'all remaining'."""
     devices = devices if devices is not None else jax.devices()
@@ -65,19 +112,28 @@ def make_parallel_infer(apply_fn, mesh):
     return jax.jit(apply_fn, in_shardings=(repl, data), out_shardings=data)
 
 
-def make_parallel_step(step_fn, mesh, donate_state=True):
-    """jit the fused train step over the mesh.
+def make_parallel_step(step_fn, mesh, donate_state=True, n_batch_args=2,
+                       n_batch_outs=1):
+    """jit a fused train step ``(state, batch..., lr)`` over the mesh.
 
-    state (params, opt, pool, rng) is replicated; real_A/real_B are
-    batch-sharded (N over data, H over spatial); lr is replicated.
-    XLA inserts the gradient all-reduces over ICI and the halo exchanges
-    for spatially-sharded convolutions.
-    """
+    state (params, opt, pool, rng) is replicated; the ``n_batch_args``
+    NHWC batch arguments are sharded (N over data, H over spatial); lr is
+    replicated. XLA inserts the gradient all-reduces over ICI and the
+    halo exchanges for spatially-sharded convolutions.
+
+    Outputs follow the framework-wide step contract
+    ``(new_state, metrics, *batch_outs)`` with ``n_batch_outs`` trailing
+    per-image outputs (0 for diffusion, 1 for pix2pix/cycle_gan — a
+    pytree-prefix sharding covers dict-valued visuals). Output shardings
+    are PINNED, not propagated: the partitioner is otherwise free to
+    leave new params sharded however the grads landed, which would break
+    the replicated-params contract every downstream consumer (infer fns,
+    checkpointing, the next step's donation) relies on."""
     repl = NamedSharding(mesh, P())
     data = batch_sharding(mesh)
     return jax.jit(
         step_fn,
-        in_shardings=(repl, data, data, repl),
-        out_shardings=(repl, repl, data),
+        in_shardings=(repl,) + (data,) * n_batch_args + (repl,),
+        out_shardings=(repl, repl) + (data,) * n_batch_outs,
         donate_argnums=(0,) if donate_state else (),
     )

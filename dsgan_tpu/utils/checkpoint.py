@@ -56,10 +56,14 @@ def wait_for_saves():
         _async_ckptr.wait_until_finished()
 
 
-def keep_latest(save_dir, k):
+def keep_latest(save_dir, k, keep_none_ok=False):
     """Retention policy: delete all but the k newest epoch_* checkpoints.
-    In-flight saves are finalized first so the newest dir is complete."""
-    if not k or k <= 0 or not os.path.isdir(save_dir):
+    In-flight saves are finalized first so the newest dir is complete.
+
+    k <= 0 is a no-op (retention disabled) unless ``keep_none_ok`` — used
+    by the pre-save prune, where k-1 == 0 legitimately means "the save
+    about to be issued is the only one to keep"."""
+    if not os.path.isdir(save_dir) or (k <= 0 and not keep_none_ok) or k < 0:
         return
     wait_for_saves()
     epochs = []
@@ -69,7 +73,8 @@ def keep_latest(save_dir, k):
                 epochs.append(int(name.split("_", 1)[1]))
             except ValueError:
                 pass
-    for e in sorted(epochs)[:-k]:
+    drop = sorted(epochs)[:-k] if k > 0 else sorted(epochs)
+    for e in drop:
         shutil.rmtree(_epoch_dir(save_dir, e), ignore_errors=True)
 
 

@@ -18,8 +18,13 @@ from jax import lax
 
 
 def init_pool(pool_size, shape, dtype=jnp.float32):
-    """Allocate pool buffers. shape is (H, W, C) of one pooled image."""
-    images = jnp.zeros((pool_size, *shape), dtype)
+    """Allocate pool buffers. shape is (H, W, C) of one pooled image.
+
+    pool_size == 0 (pool disabled; callers skip pool_query at trace time)
+    still allocates ONE row: a zero-size buffer cannot be serialized by
+    orbax, which would make any --pool_size 0 run crash at checkpoint
+    save. One spare image of HBM is noise next to the activations."""
+    images = jnp.zeros((max(pool_size, 1), *shape), dtype)
     count = jnp.zeros((), jnp.int32)
     return images, count
 

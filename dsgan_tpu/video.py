@@ -41,13 +41,21 @@ class VideoOptions(TestOptions):
         return parser
 
 
-def _load_frames(paths, h, w):
+def _load_frames(paths, h, w, nc=3):
+    """Decode frames to (N, h, w, nc) in [-1, 1]; nc==1 applies the same
+    luma projection as the training datasets (data/transforms.rgb_to_gray)
+    so inference preprocessing matches the recipe's input_nc."""
     from PIL import Image
 
-    out = np.empty((len(paths), h, w, 3), np.float32)
+    from dsgan_tpu.data.transforms import rgb_to_gray
+
+    if nc not in (1, 3):
+        raise SystemExit(f"video harness supports input_nc 1 or 3, got {nc}")
+    out = np.empty((len(paths), h, w, nc), np.float32)
     for i, p in enumerate(paths):
         img = Image.open(p).convert("RGB").resize((w, h), Image.BICUBIC)
-        out[i] = np.asarray(img, np.float32) / 255.0 * 2.0 - 1.0
+        arr = np.asarray(img, np.float32) / 255.0 * 2.0 - 1.0
+        out[i] = rgb_to_gray(arr) if nc == 1 else arr
     return out
 
 
@@ -76,7 +84,9 @@ def main(argv=None):
         opt.input_nc, opt.output_nc, opt.ngf, opt.which_model_netG,
         opt.norm, dtype=dtype, inference=True,
     )
-    params = registry.init_params(g, jax.random.PRNGKey(0), (1, h, w, 3), "normal")["params"]
+    params = registry.init_params(
+        g, jax.random.PRNGKey(0), (1, h, w, int(opt.input_nc)), "normal"
+    )["params"]
 
     # pull the generator out of a training checkpoint
     from dsgan_tpu.utils import checkpoint as ckpt
@@ -91,17 +101,18 @@ def main(argv=None):
 
     infer = jax.jit(lambda p, x: g.apply({"params": p}, x))
 
+    nc = int(opt.input_nc)
     bs = max(int(opt.batchSize), 1)
     ys = []
     for i in range(0, len(paths), bs):
         chunk = paths[i:i + bs]
-        x = _load_frames(chunk, h, w)
+        x = _load_frames(chunk, h, w, nc)
         if len(chunk) < bs:  # pad to the compiled batch, drop after
-            x = np.concatenate([x, np.zeros((bs - len(chunk), h, w, 3), np.float32)])
+            x = np.concatenate([x, np.zeros((bs - len(chunk), h, w, nc), np.float32)])
         y = np.asarray(infer(params, jnp.asarray(x)), np.float32)[: len(chunk)]
         ys.append(y)
     y = np.concatenate(ys)
-    x_all = _load_frames(paths, h, w)
+    x_all = _load_frames(paths, h, w, nc)
 
     dy = np.mean(np.abs(y[1:] - y[:-1]))
     dx = np.mean(np.abs(x_all[1:] - x_all[:-1]))
@@ -126,7 +137,7 @@ def main(argv=None):
             if any(f.lower().endswith(e) for e in IMG_EXTENSIONS)
         )
         assert len(gt_paths) == len(paths), "gt/input frame counts differ"
-        gt = _load_frames(gt_paths, h, w)
+        gt = _load_frames(gt_paths, h, w, int(opt.output_nc))
         yq = ops.metrics.quantize_uint8(jnp.asarray(y))
         gq = ops.metrics.quantize_uint8(jnp.asarray(gt))
         ssim_mean = float(np.asarray(ops.ssim_uint8(gq, yq)))

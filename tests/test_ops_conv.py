@@ -147,6 +147,26 @@ def test_instance_norm_bf16_close_to_f32():
     )
 
 
+def test_instance_norm_bf16_high_mean_low_variance():
+    """Ill-conditioned regime |mean| >> sigma: the bf16 apply must subtract
+    the mean in f32 so its only rounding is of the unit-scale OUTPUT —
+    an all-bf16 x*rsig - mean*rsig form carries ~ulp(|mean*rsig|) absolute
+    error, which at mean=100/std=1 is ~0.5 of the normalized output
+    (ADVICE r2). Residual error here is the bf16 quantization of x itself."""
+    x = (RNG.standard_normal((2, 16, 16, 4), dtype=np.float32) + 100.0).astype(
+        np.float32
+    )
+    xb = jnp.asarray(x).astype(jnp.bfloat16)
+    # oracle: normalize the bf16-quantized input in f64-ish precision
+    xq = np.asarray(xb, np.float32)
+    mu = xq.mean(axis=(1, 2), keepdims=True)
+    sd = np.sqrt(xq.var(axis=(1, 2), keepdims=True) + 1e-5)
+    ref = (xq - mu) / sd
+    got = np.asarray(ops.instance_norm(xb), np.float32)
+    # one bf16 rounding of the O(1) output (~0.008) + stats f32 noise
+    np.testing.assert_allclose(got, ref, rtol=0, atol=0.02)
+
+
 def test_upsample_bilinear_matches_torch():
     x = RNG.standard_normal((2, 8, 8, 3), dtype=np.float32)
     xt = torch.from_numpy(np.ascontiguousarray(x.transpose(0, 3, 1, 2)))

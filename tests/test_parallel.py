@@ -134,6 +134,64 @@ def test_spatial_sharded_train_matches_single_device():
 
 
 @pytest.mark.slow
+def test_cli_mesh_matches_single_device_trajectory(tmp_path):
+    """--data_axis/--spatial_axis through the REAL train CLI: a 2x2-mesh
+    run and a forced single-device run over the same deterministic data
+    order (--serial_batches, fixed --seed) must land on the same epoch-1
+    checkpoint. This is the product-path counterpart of the step-level
+    equivalence tests above — it covers resolve_mesh, _place_state/_place_batch,
+    make_parallel_step AND sharded-state checkpointing end to end."""
+    from PIL import Image
+
+    from dsgan_tpu.train import main as train_main
+    from dsgan_tpu.utils import checkpoint as ckpt
+
+    rng = np.random.default_rng(0)
+    d = tmp_path / "data" / "train_all"
+    d.mkdir(parents=True)
+    for pfx in "ab":  # half-split pairing: a_* = domain A, b_* = B
+        for i in range(4):
+            arr = rng.integers(0, 255, (32, 32, 3)).astype(np.uint8)
+            Image.fromarray(arr).save(d / f"{pfx}_{i}.png")
+
+    common = [
+        "--which_model_netG", "resnet_6blocks", "--ngf", "8", "--ndf", "8",
+        "--loadSize_w", "32", "--loadSize_h", "32",
+        "--fineSize_w", "32", "--fineSize_h", "32",
+        "--batchSize", "2", "--w_vgg", "0", "--pool_size", "0",
+        "--dtype", "float32", "--nThreads", "1", "--serial_batches",
+        "--no_flip", "--seed", "7",
+        "--niter", "1", "--niter_decay", "0", "--print_freq", "100",
+    ]
+    outs = {}
+    for tag, axes in (
+        ("single", ["--data_axis", "1", "--spatial_axis", "1"]),
+        ("mesh", ["--data_axis", "2", "--spatial_axis", "2"]),
+    ):
+        out = str(tmp_path / f"out_{tag}")
+        train_main(
+            common + axes + ["--name", tag],
+            dataset_path=str(tmp_path / "data"),
+            out_path=out,
+        )
+        tree = ckpt.restore_untyped(
+            str(tmp_path / f"out_{tag}" / "checkpoints" / tag), 1
+        )
+        outs[tag] = tree["state"]
+
+    for key in ("params_G", "params_D"):
+        la = jax.tree_util.tree_leaves(outs["single"][key])
+        lb = jax.tree_util.tree_leaves(outs["mesh"][key])
+        assert len(la) == len(lb)
+        for a, b in zip(la, lb):
+            # Adam + f32 reduction-order noise bound (see the step-level
+            # tests above): per-element drift is O(lr) per step, 2 steps.
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=0, atol=4e-3
+            )
+
+
+@pytest.mark.slow
 def test_dryrun_multichip_hook():
     sys.path.insert(0, "/root/repo")
     try:

@@ -79,3 +79,10 @@ def test_keep_latest_retention(tmp_path):
     assert left == ["epoch_4", "epoch_5"]
     # the survivors are still restorable
     ckpt.restore_state(str(tmp_path), 5, tree)
+    # k=0 is disabled by default but a legal "keep none" for the pre-save
+    # prune path (save_networks prunes to k-1 BEFORE issuing the new save
+    # so retention never blocks on the in-flight serialization)
+    ckpt.keep_latest(str(tmp_path), 0)
+    assert ckpt.latest_epoch(str(tmp_path)) == 5
+    ckpt.keep_latest(str(tmp_path), 0, keep_none_ok=True)
+    assert ckpt.latest_epoch(str(tmp_path)) is None
