@@ -203,6 +203,10 @@ class DiffusionModel(BaseModel):
                             help="DDIM steps used for visuals/eval sampling")
         parser.add_argument("--diff_nf", type=int, default=64,
                             help="denoiser UNet base width")
+        parser.add_argument("--metric_freq", type=int, default=50,
+                            help="train steps between DDIM-sample SSIM/PSNR "
+                                 "probes (a sample is ~sample_steps net "
+                                 "evals; 0 disables)")
         return parser
 
     def initialize(self, opt):
@@ -255,6 +259,19 @@ class DiffusionModel(BaseModel):
         self.state, self._metrics = self._step_fn(
             self.state, self.real_A, self.real_B, jnp.float32(self.lr)
         )
+        # Periodic sampled-quality probe: every --metric_freq steps draw a
+        # DDIM sample and score it against real_B on device, so the train
+        # CSVs carry SSIM/PSNR for `--model diffusion` like the GAN models
+        # (per-step scoring would cost ~sample_steps extra net evals/iter).
+        self._probe_count = getattr(self, "_probe_count", 0) + 1
+        freq = getattr(self.opt, "metric_freq", 50)
+        if freq and (self._probe_count % freq == 1 or freq == 1):
+            self.forward()
+            fake_q = ops.metrics.quantize_uint8(jnp.asarray(self.fake_B))
+            real_q = ops.metrics.quantize_uint8(self.real_B.astype(jnp.float32))
+            self._metrics = dict(self._metrics)
+            self._metrics["ssim"] = ops.ssim_uint8(real_q, fake_q)
+            self._metrics["psnr"] = ops.psnr_uint8(real_q, fake_q)
 
     def forward(self):
         rng = jax.random.fold_in(jax.random.PRNGKey(0), int(np.asarray(self.state.step)))
@@ -268,9 +285,13 @@ class DiffusionModel(BaseModel):
         return BaseModel.get_current_visuals(self)
 
     def cal_ssim(self, input=None):
+        if "ssim" in self._metrics:
+            return float(np.asarray(self._metrics["ssim"]))
         return 0.0
 
     def cal_psnr(self, input=None):
+        if "psnr" in self._metrics:
+            return float(np.asarray(self._metrics["psnr"]))
         return 0.0
 
     def _network_params(self):

@@ -89,3 +89,59 @@ def test_registry_dispatch_and_cli_options():
     get_option_setter("diffusion")(parser, True)
     opts = parser.parse_args([])
     assert opts.timesteps == 1000 and opts.sample_steps == 20
+
+
+def test_diffusion_cli_train_and_eval_metrics(tmp_path):
+    """--model diffusion end to end: train CSVs carry sampled SSIM/PSNR
+    (--metric_freq probe) and the test CLI writes per-image metrics.csv."""
+    import csv
+    import os
+
+    from PIL import Image
+
+    from dsgan_tpu.test import main as test_main
+    from dsgan_tpu.train import main as train_main
+
+    rng = np.random.default_rng(0)
+    for phase in ("train_all", "test_all"):
+        d = tmp_path / "data" / phase
+        d.mkdir(parents=True)
+        for pfx in "ab":
+            for i in range(2):
+                arr = rng.integers(0, 255, (16, 16, 3)).astype(np.uint8)
+                Image.fromarray(arr).save(d / f"{pfx}_{i}.png")
+
+    common = [
+        "--model", "diffusion", "--diff_nf", "8", "--sample_steps", "3",
+        "--timesteps", "20",
+        "--loadSize_w", "16", "--loadSize_h", "16",
+        "--fineSize_w", "16", "--fineSize_h", "16",
+        "--batchSize", "1", "--dtype", "float32", "--nThreads", "1",
+    ]
+    out = str(tmp_path / "out")
+    train_main(
+        common + ["--niter", "1", "--niter_decay", "0", "--print_freq", "2",
+                  "--metric_freq", "1", "--name", "diff"],
+        dataset_path=str(tmp_path / "data"),
+        out_path=out,
+    )
+    with open(os.path.join(out, "each_epoch.csv")) as f:
+        rows = list(csv.reader(f))
+    assert rows, "no each_epoch rows"
+    # sampled-probe metrics populated (columns: epoch, phase, ssim, psnr)
+    assert float(rows[-1][3]) != 0.0, f"psnr column empty: {rows[-1]}"
+
+    results = str(tmp_path / "results")
+    test_main(
+        common + ["--name", "diff", "--which_epoch", "1",
+                  "--results_dir", results, "--how_many", "2"],
+        dataset_path=str(tmp_path / "data"),
+        out_path=out,
+    )
+    import glob
+
+    [mpath] = glob.glob(os.path.join(results, "diff", "**", "metrics.csv"),
+                        recursive=True)
+    with open(mpath) as f:
+        rows = list(csv.reader(f))
+    assert rows[-1][0] == "mean" and rows[-1][2] != ""
