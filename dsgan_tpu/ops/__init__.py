@@ -17,7 +17,9 @@ from dsgan_tpu.ops.conv import (
     upsample_bilinear,
 )
 from dsgan_tpu.ops.norm import instance_norm, instance_stats, batch_norm_inference
-from dsgan_tpu.ops.ssim import fspecial_gauss_1d, gaussian_filter, ssim, ms_ssim
+from dsgan_tpu.ops.ssim import (
+    MS_SSIM, SSIM, fspecial_gauss_1d, gaussian_filter, ms_ssim, ssim,
+)
 from dsgan_tpu.ops.losses import (
     gan_loss,
     l1_loss,
@@ -44,6 +46,8 @@ __all__ = [
     "gaussian_filter",
     "ssim",
     "ms_ssim",
+    "SSIM",
+    "MS_SSIM",
     "gan_loss",
     "l1_loss",
     "tv_loss",

@@ -16,8 +16,6 @@ import warnings
 import jax.numpy as jnp
 from jax import lax
 
-from dsgan_tpu.ops.conv import avg_pool2d
-
 MS_SSIM_WEIGHTS = (0.0448, 0.2856, 0.3001, 0.2363, 0.1333)
 
 
@@ -43,7 +41,11 @@ def _band_matrix(win_np, size_in):
 
 
 def separable_filter_valid(x, win_np):
-    """Separable VALID 1-D filter along H then W as two banded MATMULS.
+    """Separable VALID 1-D filter along every spatial dim as banded MATMULS.
+
+    x is channels-last with any number of spatial dims: NHWC images or
+    NDHWC video volumes (the reference gaussian_filter's conv2d/conv3d
+    dispatch, MS_SSIM.py:26-52 — there as grouped convs over NC[D]HW).
 
     TPU rationale: the conv formulation of this filter runs on 3-channel
     image tensors, which tile as (4,128) lanes — ~2% lane utilization —
@@ -54,20 +56,18 @@ def separable_filter_valid(x, win_np):
     """
     size = len(win_np)
     out = x
-    if x.shape[1] >= size:
-        bh = _band_matrix(win_np, x.shape[1]).astype(x.dtype)
-        out = jnp.einsum("oh,nhwc->nowc", bh, out)
-    else:
-        warnings.warn(
-            f"Skipping Gaussian Smoothing at spatial dim 0 for input: {x.shape} and win size: {size}"
-        )
-    if x.shape[2] >= size:
-        bw = _band_matrix(win_np, x.shape[2]).astype(x.dtype)
-        out = jnp.einsum("ow,nhwc->nhoc", bw, out)
-    else:
-        warnings.warn(
-            f"Skipping Gaussian Smoothing at spatial dim 1 for input: {x.shape} and win size: {size}"
-        )
+    for axis in range(1, x.ndim - 1):
+        s = x.shape[axis]
+        if s >= size:
+            band = _band_matrix(win_np, s).astype(x.dtype)
+            out = jnp.moveaxis(
+                jnp.tensordot(band, out, axes=((1,), (axis,))), 0, axis
+            )
+        else:
+            warnings.warn(
+                f"Skipping Gaussian Smoothing at spatial dim {axis - 1} for "
+                f"input: {x.shape} and win size: {size}"
+            )
     return out
 
 
@@ -142,9 +142,19 @@ def _ssim_maps(x, y, data_range, win_np, k=(0.01, 0.03)):
     cs_map = (2 * sigma12 + c2) / (sigma1_sq + sigma2_sq + c2)
     ssim_map = ((2 * mu1_mu2 + c1) / (mu1_sq + mu2_sq + c1)) * cs_map
 
-    ssim_per_channel = jnp.mean(ssim_map, axis=(1, 2))
-    cs = jnp.mean(cs_map, axis=(1, 2))
+    spatial = tuple(range(1, ssim_map.ndim - 1))
+    ssim_per_channel = jnp.mean(ssim_map, axis=spatial)
+    cs = jnp.mean(cs_map, axis=spatial)
     return ssim_per_channel, cs
+
+
+def _squeeze_trailing(x):
+    """Reference ssim/ms_ssim squeeze trailing size-1 dims (MS_SSIM.py:
+    123-125,180-182; NCHW there). Channels-last analog: drop size-1
+    SPATIAL dims from the end while more than 2 spatial dims remain."""
+    while x.ndim > 4 and x.shape[-2] == 1:
+        x = x.reshape(*x.shape[:-2], x.shape[-1])
+    return x
 
 
 def ssim(
@@ -157,9 +167,13 @@ def ssim(
     k=(0.01, 0.03),
     nonnegative_ssim=False,
 ):
-    """Single-scale SSIM (matches MS_SSIM.py:95-150). x, y: NHWC."""
+    """Single-scale SSIM (matches MS_SSIM.py:95-150). x, y: NHWC images
+    or NDHWC video volumes (the reference's conv3d path)."""
     if x.shape != y.shape:
         raise ValueError(f"Input images should have the same dimensions, got {x.shape} vs {y.shape}.")
+    x, y = _squeeze_trailing(x), _squeeze_trailing(y)
+    if x.ndim not in (4, 5):
+        raise ValueError(f"Input images should be 4-d or 5-d tensors, but got {x.shape}")
     if win_size % 2 != 1:
         raise ValueError("Window size should be odd.")
     ssim_per_channel, _ = _ssim_maps(x, y, data_range, _gauss_np(win_size, win_sigma), k)
@@ -180,12 +194,17 @@ def ms_ssim(
     weights=None,
     k=(0.01, 0.03),
 ):
-    """Multi-scale SSIM (matches MS_SSIM.py:153-225). x, y: NHWC."""
+    """Multi-scale SSIM (matches MS_SSIM.py:153-225). x, y: NHWC images
+    or NDHWC video volumes (avg_pool3d between levels, as the reference's
+    F.avg_pool3d dispatch)."""
     if x.shape != y.shape:
         raise ValueError(f"Input images should have the same dimensions, got {x.shape} vs {y.shape}.")
+    x, y = _squeeze_trailing(x), _squeeze_trailing(y)
+    if x.ndim not in (4, 5):
+        raise ValueError(f"Input images should be 4-d or 5-d tensors, but got {x.shape}")
     if win_size % 2 != 1:
         raise ValueError("Window size should be odd.")
-    smaller_side = min(x.shape[1:3])
+    smaller_side = min(x.shape[-3:-1])
     if smaller_side <= (win_size - 1) * 16:
         raise ValueError(
             "Image size should be larger than %d due to the 4 downsamplings "
@@ -196,6 +215,15 @@ def ms_ssim(
     weights = jnp.asarray(weights, x.dtype)
     win_np = _gauss_np(win_size, win_sigma)
 
+    def _pool(v):
+        # torch avg_pool2d/3d semantics: kernel 2, stride 2, symmetric
+        # pad s%2 per spatial dim, count_include_pad=True
+        spatial = v.shape[1:-1]
+        dims = (1, *(2,) * len(spatial), 1)
+        pads = ((0, 0), *(((s % 2), (s % 2)) for s in spatial), (0, 0))
+        summed = lax.reduce_window(v, 0.0, lax.add, dims, dims, pads)
+        return summed / (2 ** len(spatial))
+
     levels = weights.shape[0]
     mcs = []
     ssim_per_channel = None
@@ -203,9 +231,7 @@ def ms_ssim(
         ssim_per_channel, cs = _ssim_maps(x, y, data_range, win_np, k)
         if i < levels - 1:
             mcs.append(jnp.maximum(cs, 0.0))
-            pad = tuple(s % 2 for s in x.shape[1:3])
-            x = avg_pool2d(x, 2, padding=(pad[0], pad[1]), count_include_pad=True)
-            y = avg_pool2d(y, 2, padding=(pad[0], pad[1]), count_include_pad=True)
+            x, y = _pool(x), _pool(y)
 
     ssim_per_channel = jnp.maximum(ssim_per_channel, 0.0)
     mcs_and_ssim = jnp.stack(mcs + [ssim_per_channel], axis=0)  # (L, N, C)
@@ -213,3 +239,59 @@ def ms_ssim(
     if size_average:
         return jnp.mean(ms_ssim_val)
     return jnp.mean(ms_ssim_val, axis=1)
+
+
+class SSIM:
+    """Configured-callable form of ``ssim`` (reference SSIM module,
+    MS_SSIM.py:228-269). Stateless here — the window is derived from
+    (win_size, win_sigma) at trace time, so ``channel``/``spatial_dims``
+    are accepted for interface parity but need no buffer."""
+
+    def __init__(self, data_range=255, size_average=True, win_size=11,
+                 win_sigma=1.5, channel=3, spatial_dims=2, K=(0.01, 0.03),
+                 nonnegative_ssim=False):
+        del channel, spatial_dims  # window repeat is implicit channels-last
+        self.data_range = data_range
+        self.size_average = size_average
+        self.win_size = win_size
+        self.win_sigma = win_sigma
+        self.K = K
+        self.nonnegative_ssim = nonnegative_ssim
+
+    def __call__(self, x, y):
+        return ssim(
+            x, y,
+            data_range=self.data_range,
+            size_average=self.size_average,
+            win_size=self.win_size,
+            win_sigma=self.win_sigma,
+            k=self.K,
+            nonnegative_ssim=self.nonnegative_ssim,
+        )
+
+
+class MS_SSIM:
+    """Configured-callable form of ``ms_ssim`` (reference MS_SSIM module,
+    MS_SSIM.py:271-311)."""
+
+    def __init__(self, data_range=255, size_average=True, win_size=11,
+                 win_sigma=1.5, channel=3, spatial_dims=2, weights=None,
+                 K=(0.01, 0.03)):
+        del channel, spatial_dims
+        self.data_range = data_range
+        self.size_average = size_average
+        self.win_size = win_size
+        self.win_sigma = win_sigma
+        self.weights = weights
+        self.K = K
+
+    def __call__(self, x, y):
+        return ms_ssim(
+            x, y,
+            data_range=self.data_range,
+            size_average=self.size_average,
+            win_size=self.win_size,
+            win_sigma=self.win_sigma,
+            weights=self.weights,
+            k=self.K,
+        )

@@ -153,3 +153,90 @@ def test_quantize_uint8_matches_numpy_cast():
     want = np.clip((x + 1) / 2 * 255.0, 0, 255).astype(np.uint8)
     got = np.asarray(ops.metrics.quantize_uint8(jnp.asarray(x))).astype(np.uint8)
     np.testing.assert_array_equal(got, want)
+
+
+def _ref_msssim_module():
+    """Import the reference vendored MS_SSIM (torch) as the 5-D oracle —
+    imported straight from /root/reference, never copied."""
+    import importlib.util
+    import sys
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_ms_ssim", "/root/reference/DSGAN/MS_SSIM.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["ref_ms_ssim"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_ssim_5d_matches_reference_torch():
+    """NDHWC video-volume SSIM vs the reference's conv3d gaussian_filter
+    path (MS_SSIM.py:26-52,95-150) on the same data (NCDHW there)."""
+    ref = _ref_msssim_module()
+    x = RNG.uniform(0, 1, (2, 12, 24, 24, 3)).astype(np.float32)
+    y = np.clip(x + RNG.normal(0, 0.1, x.shape), 0, 1).astype(np.float32)
+    want = ref.ssim(
+        torch.from_numpy(x.transpose(0, 4, 1, 2, 3)),
+        torch.from_numpy(y.transpose(0, 4, 1, 2, 3)),
+        data_range=1.0,
+    ).item()
+    got = float(ops.ssim(jnp.asarray(x), jnp.asarray(y), data_range=1.0))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_ssim_5d_small_depth_skips_that_dim():
+    """depth < win_size triggers the reference's skip-small-dims warning
+    path: only H/W are filtered."""
+    ref = _ref_msssim_module()
+    x = RNG.uniform(0, 1, (1, 4, 32, 32, 1)).astype(np.float32)
+    y = RNG.uniform(0, 1, (1, 4, 32, 32, 1)).astype(np.float32)
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        want = ref.ssim(
+            torch.from_numpy(x.transpose(0, 4, 1, 2, 3)),
+            torch.from_numpy(y.transpose(0, 4, 1, 2, 3)),
+            data_range=1.0,
+        ).item()
+        got = float(ops.ssim(jnp.asarray(x), jnp.asarray(y), data_range=1.0))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_ms_ssim_5d_matches_reference_torch():
+    """NDHWC MS-SSIM vs the reference's avg_pool3d multi-scale path
+    (MS_SSIM.py:153-225). H/W must survive the 4 halvings; depth is
+    pooled (and eventually skip-filtered) exactly as the reference does."""
+    ref = _ref_msssim_module()
+    x = RNG.uniform(0, 1, (1, 16, 176, 176, 2)).astype(np.float32)
+    y = np.clip(x + RNG.normal(0, 0.05, x.shape), 0, 1).astype(np.float32)
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        want = ref.ms_ssim(
+            torch.from_numpy(x.transpose(0, 4, 1, 2, 3)),
+            torch.from_numpy(y.transpose(0, 4, 1, 2, 3)),
+            data_range=1.0,
+        ).item()
+        got = float(ops.ms_ssim(jnp.asarray(x), jnp.asarray(y), data_range=1.0))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_ssim_module_wrappers_match_functions():
+    """SSIM / MS_SSIM configured-callable wrappers (reference modules,
+    MS_SSIM.py:228-311) delegate to the functional forms."""
+    from dsgan_tpu.ops.ssim import MS_SSIM, SSIM
+
+    x = jnp.asarray(RNG.uniform(0, 1, (1, 192, 192, 3)).astype(np.float32))
+    y = jnp.asarray(RNG.uniform(0, 1, (1, 192, 192, 3)).astype(np.float32))
+    m = SSIM(data_range=1.0, nonnegative_ssim=True)
+    np.testing.assert_allclose(
+        float(m(x, y)),
+        float(ops.ssim(x, y, data_range=1.0, nonnegative_ssim=True)),
+    )
+    mm = MS_SSIM(data_range=1.0)
+    np.testing.assert_allclose(
+        float(mm(x, y)), float(ops.ms_ssim(x, y, data_range=1.0))
+    )
