@@ -1,0 +1,167 @@
+"""Multi-step training-trajectory parity: our fused step vs the reference
+torch trainer (imported from /root/reference, never copied).
+
+Runs the SAME experiment in both frameworks — identical converted initial
+weights, identical deterministic synthetic paired data in an identical
+batch order, default-recipe composite loss (pool off, w_vgg=0: no
+pretrained VGG in this env; extractor parity is covered by
+tests/test_vgg_convert.py) — for N steps on CPU/f32/exact-GELU, and logs
+per-step loss components plus a SHARED host-side SSIM protocol
+(ops.ssim_ref, the reference train.py:33-44 skimage protocol) of each
+side's fake_B against the target.
+
+Outputs docs/parity/curves.csv (step, per-side losses + ssim) and prints
+summary deviations. This is the evidence artifact behind docs/PARITY.md:
+"same algorithm => same trajectory", backed by a multi-step run rather
+than the one-step test alone (tests/test_torch_step_parity.py).
+
+Usage:  python tools/parity_run.py [--steps 40] [--res 64] [--batch 2]
+"""
+
+import argparse
+import csv
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def synth_pair(rng, n, res):
+    """Structured synthetic pairs: A = 'thermal' luminance rendering of a
+    few soft blobs; B = a fixed colorization of the same scene. Smooth
+    content (not iid noise) so SSIM is a meaningful trajectory signal."""
+    yy, xx = np.mgrid[0:res, 0:res].astype(np.float32) / res
+    A = np.zeros((n, res, res, 3), np.float32)
+    B = np.zeros((n, res, res, 3), np.float32)
+    for i in range(n):
+        field = np.zeros((res, res), np.float32)
+        for _ in range(6):
+            cx, cy = rng.uniform(0.1, 0.9, 2)
+            s = rng.uniform(0.05, 0.25)
+            w = rng.uniform(0.3, 1.0)
+            field += w * np.exp(-(((xx - cx) ** 2 + (yy - cy) ** 2) / (2 * s * s)))
+        field = field / field.max() * 2.0 - 1.0
+        A[i] = field[..., None]
+        # fixed pseudo-colorization: channel-wise nonlinear maps of the scene
+        B[i, ..., 0] = np.tanh(1.5 * field)
+        B[i, ..., 1] = field * 0.5
+        B[i, ..., 2] = np.cos(field * np.pi / 2) * 2.0 - 1.0
+    return A, B
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=40)
+    ap.add_argument("--res", type=int, default=64)
+    ap.add_argument("--batch", type=int, default=2)
+    ap.add_argument("--nimg", type=int, default=8)
+    ap.add_argument("--out", default="docs/parity")
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import torch
+
+    from tests.test_torch_step_parity import (
+        _ZeroVgg, _build_ours, _import_reference, _ref_options,
+    )
+    from dsgan_tpu import ops
+
+    ref_pix2pix = _import_reference()
+    torch.manual_seed(1234)
+    opt = _ref_options()
+    ref = ref_pix2pix.Pix2PixModel()
+    orig_vgg = ref_pix2pix.Vgg16
+    ref_pix2pix.Vgg16 = _ZeroVgg
+    try:
+        ref.initialize(opt)
+    finally:
+        ref_pix2pix.Vgg16 = orig_vgg
+
+    os.makedirs("/tmp/dsgan_parity", exist_ok=True)
+    g_pth = "/tmp/dsgan_parity/g.pth"
+    d_pth = "/tmp/dsgan_parity/d.pth"
+    torch.save(ref.netG.state_dict(), g_pth)
+    torch.save(ref.netD.state_dict(), d_pth)
+
+    lr = 2e-4
+    state, step = _build_ours(g_pth, d_pth, lr)
+
+    rng = np.random.default_rng(7)
+    A, B = synth_pair(rng, args.nimg, args.res)
+
+    os.makedirs(args.out, exist_ok=True)
+    rows = []
+    order = np.arange(args.nimg)
+    bi = 0
+    for it in range(args.steps):
+        if bi + args.batch > args.nimg:
+            bi = 0
+        idx = order[bi:bi + args.batch]
+        bi += args.batch
+        a, b = A[idx], B[idx]
+
+        ref.set_input({
+            "A": torch.tensor(a.transpose(0, 3, 1, 2)),
+            "B": torch.tensor(b.transpose(0, 3, 1, 2)),
+            "A_paths": ["x"], "B_paths": ["x"],
+        })
+        ref.optimize_parameters()
+        fake_ref = ref.fake_B.detach().numpy().transpose(0, 2, 3, 1)
+
+        state, metrics, fake_ours = step(
+            state, jnp.asarray(a), jnp.asarray(b), jnp.float32(lr)
+        )
+        fake_ours = np.asarray(fake_ours, np.float32)
+
+        def u8(x):
+            return np.clip((x + 1) / 2 * 255.0, 0, 255).astype(np.uint8)
+
+        ssim_ref_side = np.mean([
+            ops.ssim_ref(u8(b[j]), u8(fake_ref[j])) for j in range(args.batch)
+        ])
+        ssim_ours = np.mean([
+            ops.ssim_ref(u8(b[j]), u8(fake_ours[j])) for j in range(args.batch)
+        ])
+        row = {
+            "step": it + 1,
+            "ref_loss_G": float(ref.loss_G),
+            "ours_loss_G": float(np.asarray(metrics["loss_G"])),
+            "ref_loss_D": float(ref.loss_D_fake + ref.loss_D_real) * 0.5,
+            "ours_loss_D": float(np.asarray(metrics["loss_D"])),
+            "ref_loss_G_L1": float(ref.loss_G_L1),
+            "ours_loss_G_L1": float(np.asarray(metrics["loss_G_L1"])),
+            "ref_ssim": float(ssim_ref_side),
+            "ours_ssim": float(ssim_ours),
+        }
+        rows.append(row)
+        print(
+            f"step {it+1:3d}  G {row['ref_loss_G']:8.4f}/{row['ours_loss_G']:8.4f}"
+            f"  D {row['ref_loss_D']:7.4f}/{row['ours_loss_D']:7.4f}"
+            f"  ssim {row['ref_ssim']:6.4f}/{row['ours_ssim']:6.4f}  (ref/ours)",
+            flush=True,
+        )
+
+    path = os.path.join(args.out, "curves.csv")
+    with open(path, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=list(rows[0]))
+        w.writeheader()
+        w.writerows(rows)
+
+    gdev = np.max([abs(r["ref_loss_G"] - r["ours_loss_G"]) /
+                   max(abs(r["ref_loss_G"]), 1e-6) for r in rows])
+    sdev = np.max([abs(r["ref_ssim"] - r["ours_ssim"]) for r in rows])
+    last = rows[-1]
+    print(f"\nwrote {path}")
+    print(f"max rel |loss_G| deviation over {args.steps} steps: {gdev:.3%}")
+    print(f"max |ssim| deviation: {sdev:.4f}")
+    print(f"final: loss_G {last['ref_loss_G']:.4f}/{last['ours_loss_G']:.4f}  "
+          f"ssim {last['ref_ssim']:.4f}/{last['ours_ssim']:.4f} (ref/ours)")
+
+
+if __name__ == "__main__":
+    main()
