@@ -94,32 +94,24 @@ class ConvNeXtBlock(nn.Module):
     inference: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, x2=None):
         from dsgan_tpu.models.layers import _GELU_MODE
         from dsgan_tpu.pallas import (
-            block_core_fits, block_core_in, pallas_enabled, pallas_interpret,
+            block_core2_in, block_core_fits, block_core_in,
+            pallas_enabled, pallas_interpret,
         )
 
-        dim = x.shape[-1]
+        # Two-argument form (decoder skip-concat elimination): the block
+        # input is semantically concat(x, x2) and the parameter layout is
+        # identical to the one-input block on that concat — but every
+        # consumer is channel-separable (dwconv, IN stats, K-split GEMMs),
+        # so on the fused path the 2C-wide tensor never exists in HBM.
+        c1 = x.shape[-1]
+        dim = c1 + (x2.shape[-1] if x2 is not None else 0)
         dtype = self.dtype or x.dtype
         w1, b1 = _DenseParams(4 * dim, dim, name="pwconv1")()
         w2, b2 = _DenseParams(self.plans, 4 * dim, name="pwconv2")()
         wsc = _Conv1x1Params(self.plans, dim, name="shortcut")()
-        if dim <= 8:
-            # Small-channel depthwise conv (c1: dim=3) as a DENSE conv with
-            # a diagonal-masked kernel: XLA's feature-grouped lowering is
-            # catastrophic at tiny C (26.2 ms fwd+bwd vs 3.0 ms for the
-            # identical math dense-masked, 16x256^2x3 on v5e). Params stay
-            # in the grouped layout (checkpoint-identical).
-            kdw, bdw = _DWParams(7, dim, name="dwconv")()
-            eye = jnp.eye(dim, dtype=kdw.dtype)[None, None]
-            wd = eye * kdw[:, :, 0, :][:, :, None, :]
-            wd, bd = jax.lax.optimization_barrier(
-                (wd.astype(dtype), bdw.astype(dtype))
-            )
-            h = ops.conv2d(x.astype(dtype), wd, bd, stride=1, padding=3)
-        else:
-            h = Conv(dim, 7, padding=3, groups=dim, dtype=dtype, name="dwconv")(x)
 
         tanh_gelu = _GELU_MODE == "tanh" or (
             _GELU_MODE == "auto" and dtype == jnp.bfloat16
@@ -134,8 +126,60 @@ class ConvNeXtBlock(nn.Module):
             and hw % 128 == 0
             and block_core_fits(hw, dim, 4 * dim, self.plans)
         )
+        # The split pays only when BOTH parts fill the 128-wide vector
+        # lanes: at uc4 (64+64 @256^2) the two half-width depthwise convs
+        # and narrow GEMMs run at half lane utilization and LOSE 9.2 ms
+        # fwd+bwd vs the concat path (tools/split_probe.py, v5e b16);
+        # at 128+128/256+256 the split wins (uc3 10.45 -> 9.93 ms).
+        split = (
+            x2 is not None
+            and use_fused
+            and min(c1, dim - c1) >= 128
+        )
+        if x2 is not None and not split:
+            # the non-split path consumes the concat exactly as the
+            # one-input block would (single dwconv; same param tree)
+            x = jnp.concatenate([x.astype(dtype), x2.astype(dtype)], axis=-1)
+            x2 = None
+
+        if dim <= 8:
+            assert x2 is None, "split inputs are a decoder path (dim >= 128)"
+            # Small-channel depthwise conv (c1: dim=3) as a DENSE conv with
+            # a diagonal-masked kernel: XLA's feature-grouped lowering is
+            # catastrophic at tiny C (26.2 ms fwd+bwd vs 3.0 ms for the
+            # identical math dense-masked, 16x256^2x3 on v5e). Params stay
+            # in the grouped layout (checkpoint-identical).
+            kdw, bdw = _DWParams(7, dim, name="dwconv")()
+            eye = jnp.eye(dim, dtype=kdw.dtype)[None, None]
+            wd = eye * kdw[:, :, 0, :][:, :, None, :]
+            wd, bd = jax.lax.optimization_barrier(
+                (wd.astype(dtype), bdw.astype(dtype))
+            )
+            h = ops.conv2d(x.astype(dtype), wd, bd, stride=1, padding=3)
+        elif split:
+            # per-part depthwise convs with the concat-layout params sliced:
+            # dw(concat(a,b)) == concat(dw_a(a), dw_b(b))
+            kdw, bdw = _DWParams(7, dim, name="dwconv")()
+            kdw = kdw.astype(dtype)
+            bdw = bdw.astype(dtype)
+            h = ops.conv2d(x.astype(dtype), kdw[..., :c1], bdw[:c1],
+                           stride=1, padding=3, groups=c1)
+            h2 = ops.conv2d(x2.astype(dtype), kdw[..., c1:], bdw[c1:],
+                            stride=1, padding=3, groups=dim - c1)
+        else:
+            h = Conv(dim, 7, padding=3, groups=dim, dtype=dtype, name="dwconv")(x)
+
         xc = x.astype(dtype)
         if use_fused:
+            if split:
+                return block_core2_in(
+                    h.astype(dtype), h2.astype(dtype),
+                    xc, x2.astype(dtype),
+                    w1.astype(dtype), b1.astype(dtype),
+                    w2.astype(dtype), b2.astype(dtype),
+                    wsc[0, 0].astype(dtype),
+                    pallas_interpret(),
+                )
             return block_core_in(
                 h.astype(dtype), xc,
                 w1.astype(dtype), b1.astype(dtype),
@@ -153,15 +197,22 @@ class ConvNeXtBlock(nn.Module):
 
 class UpBlock(nn.Module):
     """Reference upSample (MixConvNeXtML.py:48-66): ConvT(3,2,1,1) + IN +
-    GELU, then channel-concat the encoder skip."""
+    GELU, then channel-concat the encoder skip.
+
+    split=True returns the (upsampled, skip) pair UNconcatenated for
+    consumers that are channel-separable (the decoder's two-input
+    ConvNeXtBlock) — the concat is pure HBM traffic there."""
 
     features: int
     dtype: Any = None
+    split: bool = False
 
     @nn.compact
     def __call__(self, x, skip):
         h = ConvTranspose(self.features, 3, 2, 1, 1, dtype=self.dtype, name="deconv")(x)
         h = gelu(ops.instance_norm(h))
+        if self.split:
+            return h, skip
         return jnp.concatenate([h, skip], axis=-1)
 
 
@@ -348,18 +399,20 @@ class MixConvNeXtML(nn.Module):
         ]
         d512 = [DownProject(1024, 2, dtype=dt, name="down512_to2")(r4)]
 
-        # -- decoder with skip concat + ConvNeXt fusion
+        # -- decoder with skip fusion: UpBlock hands the (upsampled, skip)
+        # pair to the two-input ConvNeXtBlock unconcatenated — on the fused
+        # TPU path the 2C-wide concat never exists in HBM (see ConvNeXtBlock)
         o1 = Block(512, dtype=dt, name="uc1")(
-            UpBlock(512, dtype=dt, name="u1")(r5 + d64[3] + d128[2] + d256[1] + d512[0], r4)
+            *UpBlock(512, dtype=dt, split=True, name="u1")(r5 + d64[3] + d128[2] + d256[1] + d512[0], r4)
         )
         o2 = Block(256, dtype=dt, name="uc2")(
-            UpBlock(256, dtype=dt, name="u2")(o1 + d64[2] + d128[1] + d256[0], r3)
+            *UpBlock(256, dtype=dt, split=True, name="u2")(o1 + d64[2] + d128[1] + d256[0], r3)
         )
         o3 = Block(128, dtype=dt, name="uc3")(
-            UpBlock(128, dtype=dt, name="u3")(o2 + d64[1] + d128[0], r2)
+            *UpBlock(128, dtype=dt, split=True, name="u3")(o2 + d64[1] + d128[0], r2)
         )
         o4 = Block(64, dtype=dt, name="uc4")(
-            UpBlock(64, dtype=dt, name="u4")(o3 + d64[0], r1)
+            *UpBlock(64, dtype=dt, split=True, name="u4")(o3 + d64[0], r1)
         )
 
         # -- local stream + fusion

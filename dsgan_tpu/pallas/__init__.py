@@ -37,6 +37,7 @@ def pallas_interpret():
 from dsgan_tpu.pallas.dwconv import dwconv2d  # noqa: E402
 from dsgan_tpu.pallas.block_core import (  # noqa: E402
     block_core, block_core_fits, block_core_in,
+    block_core2_fits, block_core2_in,
 )
 
 __all__ = [
@@ -46,4 +47,6 @@ __all__ = [
     "block_core",
     "block_core_fits",
     "block_core_in",
+    "block_core2_fits",
+    "block_core2_in",
 ]

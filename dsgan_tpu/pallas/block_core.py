@@ -79,8 +79,14 @@ def _pick_tm(m_per_image, est, budget=14 * 1024 * 1024):
 
 
 def block_core_fits(hw, c, h4, p):
-    """Static gate: True if both kernels fit VMEM at some tile size."""
+    """Static gate: True if both kernels fit VMEM at some tile size.
+
+    Also requires the hidden width to split evenly into the kernels'
+    VMEM chunks (hc = min(h4, 1024)): the chunk loops iterate
+    ``h4 // hc`` times, so a remainder would be silently dropped."""
     hc = min(h4, 1024)
+    if h4 % hc != 0:
+        return False
     tf = _pick_tm(hw, lambda tm: _fwd_vmem(tm, c, h4, p, hc))
     tb = _pick_tm(hw, lambda tm: _bwd_vmem(tm, c, h4, p, hc))
     return tf is not None and tb is not None
@@ -151,10 +157,12 @@ def _bwd_kernel(mean_ref, rsig_ref, h_ref, x_ref, g_ref, w1_ref, b1_ref,
         sl = slice(i * hc, (i + 1) * hc)
         h1 = jnp.dot(a, w1_ref[:, sl], preferred_element_type=jnp.float32)
         h1 = h1 + b1_ref[0, sl].astype(jnp.float32)
-        # gelu(tanh) forward (on bf16, matching _fwd_kernel) + analytic grad
-        ag = jax.nn.gelu(h1.astype(h_ref.dtype), approximate=True)
+        # ONE tanh serves both the recomputed gelu value and its analytic
+        # grad: gelu(x) = 0.5 x (1 + th). (jax.nn.gelu here would evaluate
+        # a SECOND tanh — the bwd kernel is VPU-bound and tanh dominates.)
         u = _SQRT_2_OVER_PI * (h1 + _GELU_C * h1 * h1 * h1)
         th = jnp.tanh(u)
+        ag = (0.5 * h1 * (1.0 + th)).astype(h_ref.dtype)
         dgelu = 0.5 * (1.0 + th) + 0.5 * h1 * (1.0 - th * th) * (
             _SQRT_2_OVER_PI * (1.0 + 3.0 * _GELU_C * h1 * h1)
         )
@@ -187,6 +195,7 @@ def _fwd_impl(h, x, mean, rsig, w1, b1, w2, b2, ws, interpret):
     p = w2.shape[1]
     h4 = w1.shape[1]
     hc = min(h4, 1024)
+    assert h4 % hc == 0, "hidden width must divide into VMEM chunks (gate with fits())"
     hw = hh * ww
     tm = _pick_tm(hw, lambda tm: _fwd_vmem(tm, c, h4, p, hc))
     assert tm is not None, "shape too large for fused block kernel (gate with fits())"
@@ -231,14 +240,15 @@ def block_core(h, x, mean, rsig, w1, b1, w2, b2, ws, interpret=False):
 
 def _vjp_fwd(h, x, mean, rsig, w1, b1, w2, b2, ws, interpret):
     out = _fwd_impl(h, x, mean, rsig, w1, b1, w2, b2, ws, interpret)
-    return out, (h, x, mean, rsig, w1, b1, w2, ws)
+    return out, (h, x, mean, rsig, w1, b1, w2, b2, ws)
 
 
-def _bwd_impl(h, x, mean, rsig, w1, b1, w2, ws, g, interpret):
+def _bwd_impl(h, x, mean, rsig, w1, b1, w2, b2, ws, g, interpret):
     b, hh, ww, c = h.shape
     p = w2.shape[1]
     h4 = w1.shape[1]
     hc = min(h4, 1024)
+    assert h4 % hc == 0, "hidden width must divide into VMEM chunks (gate with fits())"
     hw = hh * ww
     tm = _pick_tm(hw, lambda tm: _bwd_vmem(tm, c, h4, p, hc))
     assert tm is not None, "shape too large for fused block kernel (gate with fits())"
@@ -294,7 +304,7 @@ def _bwd_impl(h, x, mean, rsig, w1, b1, w2, ws, g, interpret):
         dw1.astype(w1.dtype),
         db1.reshape(h4).astype(b1.dtype),
         dw2.astype(w2.dtype),
-        db2.reshape(p).astype(w2.dtype),
+        db2.reshape(p).astype(b2.dtype),
         dws.astype(ws.dtype),
         s1.reshape(b, c),
         s2.reshape(b, c),
@@ -302,10 +312,10 @@ def _bwd_impl(h, x, mean, rsig, w1, b1, w2, ws, g, interpret):
 
 
 def _vjp_bwd(interpret, res, g):
-    h, x, mean, rsig, w1, b1, w2, ws = res
+    h, x, mean, rsig, w1, b1, w2, b2, ws = res
     b, hh, ww, c = h.shape
     dn4, dx, dw1, db1, dw2, db2, dws, s1, s2 = _bwd_impl(
-        h, x, mean, rsig, w1, b1, w2, ws, g, interpret
+        h, x, mean, rsig, w1, b1, w2, b2, ws, g, interpret
     )
     # h cotangent holding the statistics fixed; the mean/rsig cotangents
     # below let the caller's autodiff of instance_stats supply the rest.
@@ -344,15 +354,15 @@ def _in_vjp_fwd(h, x, w1, b1, w2, b2, ws, interpret):
 
     mean, rsig = instance_stats(h)
     out = _fwd_impl(h, x, mean, rsig, w1, b1, w2, b2, ws, interpret)
-    return out, (h, x, mean, rsig, w1, b1, w2, ws)
+    return out, (h, x, mean, rsig, w1, b1, w2, b2, ws)
 
 
 def _in_vjp_bwd(interpret, res, g):
-    h, x, mean, rsig, w1, b1, w2, ws = res
+    h, x, mean, rsig, w1, b1, w2, b2, ws = res
     b, hh, ww, c = h.shape
     hw = hh * ww
     dn4, dx, dw1, db1, dw2, db2, dws, s1, s2 = _bwd_impl(
-        h, x, mean, rsig, w1, b1, w2, ws, g, interpret
+        h, x, mean, rsig, w1, b1, w2, b2, ws, g, interpret
     )
     dt = h.dtype
     # per-(b,c) f32 scalars; the big elementwise pass stays in dt.
@@ -382,3 +392,334 @@ def block_core_reference(h, x, mean, rsig, w1, b1, w2, b2, ws):
     out = (jnp.dot(g, w2.astype(jnp.float32)) + b2.astype(jnp.float32)
            + jnp.dot(x, ws.astype(jnp.float32)))
     return out.astype(h.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Two-input variant: decoder skip-concat elimination.
+#
+# The decoder's UpBlock ends in channel-concat(h_up, skip) and the following
+# ConvNeXtBlock consumes the 2C-wide tensor. Concat/split of 256^2-class
+# activations are pure HBM round trips (~5 ms/step at uc4 alone). Because
+# every consumer of the concat is channel-separable —
+#   * depthwise conv:   dw(concat(a,b)) = concat(dw_a(a), dw_b(b))
+#   * InstanceNorm:     per-channel stats = stats of each part
+#   * MLP / shortcut:   concat(a,b) @ W  = a @ W[:C1] + b @ W[C1:]
+# — the fused block kernel can take the TWO parts unconcatenated (K-split
+# GEMMs; weight slices prepared at trace time) and the backward emits
+# dx1/dx2 (and the two norm cotangents) directly, so neither direction ever
+# materializes the 2C-wide tensor in HBM. Same math as block_core_in on
+# concat(h_a,h_b)/concat(x_a,x_b); parameters keep the concatenated layout
+# (checkpoint-identical to the single-input block).
+# ---------------------------------------------------------------------------
+
+
+def block_core2_fits(hw, c1, c2, h4, p):
+    """Static gate for the two-input kernels (same budgets; c = c1 + c2)."""
+    return block_core_fits(hw, c1 + c2, h4, p)
+
+
+def _fwd_kernel2(ma_ref, ra_ref, mb_ref, rb_ref, ha_ref, hb_ref,
+                 xa_ref, xb_ref, w1a_ref, w1b_ref, b1_ref, w2_ref, b2_ref,
+                 wsa_ref, wsb_ref, o_ref, *, hc):
+    a1 = ((ha_ref[0].astype(jnp.float32) - ma_ref[0, 0, :])
+          * ra_ref[0, 0, :]).astype(ha_ref.dtype)
+    a2 = ((hb_ref[0].astype(jnp.float32) - mb_ref[0, 0, :])
+          * rb_ref[0, 0, :]).astype(hb_ref.dtype)
+    acc = jnp.dot(xa_ref[0], wsa_ref[...], preferred_element_type=jnp.float32)
+    acc = acc + jnp.dot(xb_ref[0], wsb_ref[...], preferred_element_type=jnp.float32)
+    acc = acc + b2_ref[0, :].astype(jnp.float32)
+    h4 = w1a_ref.shape[1]
+    for i in range(h4 // hc):
+        sl = slice(i * hc, (i + 1) * hc)
+        h1 = jnp.dot(a1, w1a_ref[:, sl], preferred_element_type=jnp.float32)
+        h1 = h1 + jnp.dot(a2, w1b_ref[:, sl], preferred_element_type=jnp.float32)
+        h1 = h1 + b1_ref[0, sl].astype(jnp.float32)
+        g = jax.nn.gelu(h1.astype(ha_ref.dtype), approximate=True)
+        acc = acc + jnp.dot(g, w2_ref[sl, :], preferred_element_type=jnp.float32)
+    o_ref[0] = acc.astype(o_ref.dtype)
+
+
+def _bwd_kernel2(ma_ref, ra_ref, mb_ref, rb_ref, ha_ref, hb_ref,
+                 xa_ref, xb_ref, g_ref, w1a_ref, w1b_ref, b1_ref, w2_ref,
+                 wsa_ref, wsb_ref,
+                 dna_ref, dnb_ref, dxa_ref, dxb_ref, dw1a_ref, dw1b_ref,
+                 db1_ref, dw2_ref, db2_ref, dwsa_ref, dwsb_ref,
+                 s1a_ref, s2a_ref, s1b_ref, s2b_ref, *, hc):
+    bi = pl.program_id(0)
+    ti = pl.program_id(1)
+    first = jnp.logical_and(bi == 0, ti == 0)
+
+    @pl.when(first)
+    def _():
+        dw1a_ref[...] = jnp.zeros_like(dw1a_ref)
+        dw1b_ref[...] = jnp.zeros_like(dw1b_ref)
+        db1_ref[...] = jnp.zeros_like(db1_ref)
+        dw2_ref[...] = jnp.zeros_like(dw2_ref)
+        db2_ref[...] = jnp.zeros_like(db2_ref)
+        dwsa_ref[...] = jnp.zeros_like(dwsa_ref)
+        dwsb_ref[...] = jnp.zeros_like(dwsb_ref)
+
+    @pl.when(ti == 0)
+    def _():
+        s1a_ref[...] = jnp.zeros_like(s1a_ref)
+        s2a_ref[...] = jnp.zeros_like(s2a_ref)
+        s1b_ref[...] = jnp.zeros_like(s1b_ref)
+        s2b_ref[...] = jnp.zeros_like(s2b_ref)
+
+    hma = ha_ref[0].astype(jnp.float32) - ma_ref[0, 0, :]
+    hmb = hb_ref[0].astype(jnp.float32) - mb_ref[0, 0, :]
+    a1 = (hma * ra_ref[0, 0, :]).astype(ha_ref.dtype)
+    a2 = (hmb * rb_ref[0, 0, :]).astype(hb_ref.dtype)
+    g = g_ref[0]
+
+    # shortcut branch, per part
+    dxa_ref[0] = jax.lax.dot_general(
+        g, wsa_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dxa_ref.dtype)
+    dxb_ref[0] = jax.lax.dot_general(
+        g, wsb_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dxb_ref.dtype)
+    dwsa_ref[...] += jax.lax.dot_general(
+        xa_ref[0], g, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dwsb_ref[...] += jax.lax.dot_general(
+        xb_ref[0], g, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    db2_ref[...] += jnp.sum(g.astype(jnp.float32), axis=0, keepdims=True)
+
+    h4 = w1a_ref.shape[1]
+    dna = jnp.zeros(hma.shape, jnp.float32)
+    dnb = jnp.zeros(hmb.shape, jnp.float32)
+    for i in range(h4 // hc):
+        sl = slice(i * hc, (i + 1) * hc)
+        h1 = jnp.dot(a1, w1a_ref[:, sl], preferred_element_type=jnp.float32)
+        h1 = h1 + jnp.dot(a2, w1b_ref[:, sl], preferred_element_type=jnp.float32)
+        h1 = h1 + b1_ref[0, sl].astype(jnp.float32)
+        # one tanh for both value and grad (see _bwd_kernel)
+        u = _SQRT_2_OVER_PI * (h1 + _GELU_C * h1 * h1 * h1)
+        th = jnp.tanh(u)
+        ag = (0.5 * h1 * (1.0 + th)).astype(ha_ref.dtype)
+        dgelu = 0.5 * (1.0 + th) + 0.5 * h1 * (1.0 - th * th) * (
+            _SQRT_2_OVER_PI * (1.0 + 3.0 * _GELU_C * h1 * h1)
+        )
+        da = jax.lax.dot_general(
+            g, w2_ref[sl, :], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dg1 = da * dgelu
+        dg1_b = dg1.astype(ha_ref.dtype)
+        dw2_ref[sl, :] += jax.lax.dot_general(
+            ag, g, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        db1_ref[0, sl] += jnp.sum(dg1, axis=0)
+        dw1a_ref[:, sl] += jax.lax.dot_general(
+            a1, dg1_b, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dw1b_ref[:, sl] += jax.lax.dot_general(
+            a2, dg1_b, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dna = dna + jax.lax.dot_general(
+            dg1_b, w1a_ref[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dnb = dnb + jax.lax.dot_general(
+            dg1_b, w1b_ref[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    dna_ref[0] = dna.astype(dna_ref.dtype)
+    dnb_ref[0] = dnb.astype(dnb_ref.dtype)
+    s1a_ref[0] += jnp.sum(dna, axis=0, keepdims=True)
+    s2a_ref[0] += jnp.sum(dna * hma, axis=0, keepdims=True)
+    s1b_ref[0] += jnp.sum(dnb, axis=0, keepdims=True)
+    s2b_ref[0] += jnp.sum(dnb * hmb, axis=0, keepdims=True)
+
+
+def _fwd2_impl(ha, hb, xa, xb, ma, ra, mb, rb, w1, b1, w2, b2, ws, interpret):
+    b, hh, ww, c1 = ha.shape
+    c2 = hb.shape[-1]
+    c = c1 + c2
+    p = w2.shape[1]
+    h4 = w1.shape[1]
+    hc = min(h4, 1024)
+    assert h4 % hc == 0, "hidden width must divide into VMEM chunks (gate with fits())"
+    hw = hh * ww
+    tm = _pick_tm(hw, lambda tm: _fwd_vmem(tm, c, h4, p, hc))
+    assert tm is not None, "shape too large for fused block kernel (gate with fits())"
+    # weight K-splits at trace time (tiny slices of resident params)
+    w1a, w1b = w1[:c1], w1[c1:]
+    wsa, wsb = ws[:c1], ws[c1:]
+    kern = functools.partial(_fwd_kernel2, hc=hc)
+    row_a = pl.BlockSpec((1, tm, c1), lambda bi, ti: (bi, ti, 0), memory_space=pltpu.VMEM)
+    row_b = pl.BlockSpec((1, tm, c2), lambda bi, ti: (bi, ti, 0), memory_space=pltpu.VMEM)
+    stat_a = pl.BlockSpec((1, 1, c1), lambda bi, ti: (bi, 0, 0), memory_space=pltpu.VMEM)
+    stat_b = pl.BlockSpec((1, 1, c2), lambda bi, ti: (bi, 0, 0), memory_space=pltpu.VMEM)
+    whole = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kern,
+        grid=(b, hw // tm),
+        in_specs=[
+            stat_a, stat_a, stat_b, stat_b,
+            row_a, row_b, row_a, row_b,
+            whole, whole,  # w1a, w1b
+            pl.BlockSpec((1, h4), lambda bi, ti: (0, 0), memory_space=pltpu.VMEM),
+            whole,  # w2
+            pl.BlockSpec((1, p), lambda bi, ti: (0, 0), memory_space=pltpu.VMEM),
+            whole, whole,  # wsa, wsb
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tm, p), lambda bi, ti: (bi, ti, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, hw, p), ha.dtype),
+        interpret=interpret,
+    )(ma.reshape(b, 1, c1), ra.reshape(b, 1, c1),
+      mb.reshape(b, 1, c2), rb.reshape(b, 1, c2),
+      ha.reshape(b, hw, c1), hb.reshape(b, hw, c2),
+      xa.reshape(b, hw, c1), xb.reshape(b, hw, c2),
+      w1a, w1b, b1.reshape(1, h4), w2, b2.reshape(1, p), wsa, wsb)
+    return out.reshape(b, hh, ww, p)
+
+
+def _bwd2_impl(ha, hb, xa, xb, ma, ra, mb, rb, w1, b1, w2, ws, g, interpret):
+    b, hh, ww, c1 = ha.shape
+    c2 = hb.shape[-1]
+    c = c1 + c2
+    p = w2.shape[1]
+    h4 = w1.shape[1]
+    hc = min(h4, 1024)
+    assert h4 % hc == 0, "hidden width must divide into VMEM chunks (gate with fits())"
+    hw = hh * ww
+    tm = _pick_tm(hw, lambda tm: _bwd_vmem(tm, c, h4, p, hc))
+    assert tm is not None, "shape too large for fused block kernel (gate with fits())"
+    w1a, w1b = w1[:c1], w1[c1:]
+    wsa, wsb = ws[:c1], ws[c1:]
+    kern = functools.partial(_bwd_kernel2, hc=hc)
+    row_a = pl.BlockSpec((1, tm, c1), lambda bi, ti: (bi, ti, 0), memory_space=pltpu.VMEM)
+    row_b = pl.BlockSpec((1, tm, c2), lambda bi, ti: (bi, ti, 0), memory_space=pltpu.VMEM)
+    row_g = pl.BlockSpec((1, tm, p), lambda bi, ti: (bi, ti, 0), memory_space=pltpu.VMEM)
+    stat_a = pl.BlockSpec((1, 1, c1), lambda bi, ti: (bi, 0, 0), memory_space=pltpu.VMEM)
+    stat_b = pl.BlockSpec((1, 1, c2), lambda bi, ti: (bi, 0, 0), memory_space=pltpu.VMEM)
+    whole2 = lambda shape: pl.BlockSpec(shape, lambda bi, ti: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        kern,
+        grid=(b, hw // tm),
+        in_specs=[
+            stat_a, stat_a, stat_b, stat_b,
+            row_a, row_b, row_a, row_b, row_g,
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # w1a
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # w1b
+            pl.BlockSpec((1, h4), lambda bi, ti: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # w2
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # wsa
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # wsb
+        ],
+        out_specs=[
+            row_a, row_b, row_a, row_b,             # dna, dnb, dxa, dxb
+            whole2((c1, h4)), whole2((c2, h4)),     # dW1a, dW1b
+            whole2((1, h4)),                        # db1
+            whole2((h4, p)), whole2((1, p)),        # dW2, db2
+            whole2((c1, p)), whole2((c2, p)),       # dWsa, dWsb
+            stat_a, stat_a, stat_b, stat_b,         # S1a, S2a, S1b, S2b
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, hw, c1), ha.dtype),
+            jax.ShapeDtypeStruct((b, hw, c2), hb.dtype),
+            jax.ShapeDtypeStruct((b, hw, c1), xa.dtype),
+            jax.ShapeDtypeStruct((b, hw, c2), xb.dtype),
+            jax.ShapeDtypeStruct((c1, h4), jnp.float32),
+            jax.ShapeDtypeStruct((c2, h4), jnp.float32),
+            jax.ShapeDtypeStruct((1, h4), jnp.float32),
+            jax.ShapeDtypeStruct((h4, p), jnp.float32),
+            jax.ShapeDtypeStruct((1, p), jnp.float32),
+            jax.ShapeDtypeStruct((c1, p), jnp.float32),
+            jax.ShapeDtypeStruct((c2, p), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, c1), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, c1), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, c2), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, c2), jnp.float32),
+        ],
+        interpret=interpret,
+    )(ma.reshape(b, 1, c1), ra.reshape(b, 1, c1),
+      mb.reshape(b, 1, c2), rb.reshape(b, 1, c2),
+      ha.reshape(b, hw, c1), hb.reshape(b, hw, c2),
+      xa.reshape(b, hw, c1), xb.reshape(b, hw, c2),
+      g.reshape(b, hw, p), w1a, w1b, b1.reshape(1, h4), w2, wsa, wsb)
+    (dna, dnb, dxa, dxb, dw1a, dw1b, db1, dw2, db2, dwsa, dwsb,
+     s1a, s2a, s1b, s2b) = outs
+    sp = (b, hh, ww)
+    return (
+        dna.reshape(*sp, c1), dnb.reshape(*sp, c2),
+        dxa.reshape(*sp, c1), dxb.reshape(*sp, c2),
+        jnp.concatenate([dw1a, dw1b], axis=0).astype(w1.dtype),
+        db1.reshape(h4).astype(b1.dtype),
+        dw2.astype(w2.dtype),
+        db2.reshape(p),
+        jnp.concatenate([dwsa, dwsb], axis=0).astype(ws.dtype),
+        s1a.reshape(b, c1), s2a.reshape(b, c1),
+        s1b.reshape(b, c2), s2b.reshape(b, c2),
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9,))
+def block_core2_in(ha, hb, xa, xb, w1, b1, w2, b2, ws, interpret=False):
+    """Two-input fused InstanceNorm+MLP+shortcut (skip-concat elimination).
+
+    Numerically identical to
+    ``block_core_in(concat(ha,hb), concat(xa,xb), ...)`` with parameters in
+    the concatenated layout, but the 2C-wide concat never exists in HBM in
+    either direction: the forward K-splits every GEMM over the two parts
+    and the backward emits dxa/dxb and the two InstanceNorm cotangents
+    directly (the full closed-form IN backward folded in, as in
+    block_core_in).
+    """
+    from dsgan_tpu.ops.norm import instance_stats
+
+    ma, ra = instance_stats(ha)
+    mb, rb = instance_stats(hb)
+    return _fwd2_impl(ha, hb, xa, xb, ma, ra, mb, rb, w1, b1, w2, b2, ws,
+                      interpret)
+
+
+def _in2_vjp_fwd(ha, hb, xa, xb, w1, b1, w2, b2, ws, interpret):
+    from dsgan_tpu.ops.norm import instance_stats
+
+    ma, ra = instance_stats(ha)
+    mb, rb = instance_stats(hb)
+    out = _fwd2_impl(ha, hb, xa, xb, ma, ra, mb, rb, w1, b1, w2, b2, ws,
+                     interpret)
+    return out, (ha, hb, xa, xb, ma, ra, mb, rb, w1, b1, w2, b2, ws)
+
+
+def _in_fold(dn, h, mean, rsig, s1, s2, hw):
+    """Closed-form IN cotangent from the kernel's S1/S2 (see block_core_in)."""
+    dt = h.dtype
+    c1 = rsig
+    c3 = (rsig ** 3) * s2 / hw
+    c0 = mean * c3 - rsig * s1 / hw
+    return (
+        dn * c1[:, None, None, :].astype(dt)
+        - h * c3[:, None, None, :].astype(dt)
+        + c0[:, None, None, :].astype(dt)
+    )
+
+
+def _in2_vjp_bwd(interpret, res, g):
+    ha, hb, xa, xb, ma, ra, mb, rb, w1, b1, w2, b2, ws = res
+    b, hh, ww, _ = ha.shape
+    hw = hh * ww
+    (dna, dnb, dxa, dxb, dw1, db1, dw2, db2, dws,
+     s1a, s2a, s1b, s2b) = _bwd2_impl(
+        ha, hb, xa, xb, ma, ra, mb, rb, w1, b1, w2, ws, g, interpret
+    )
+    dha = _in_fold(dna, ha, ma, ra, s1a, s2a, hw)
+    dhb = _in_fold(dnb, hb, mb, rb, s1b, s2b, hw)
+    return (dha, dhb, dxa, dxb, dw1, db1, dw2, db2.astype(b2.dtype), dws)
+
+
+block_core2_in.defvjp(_in2_vjp_fwd, _in2_vjp_bwd)
