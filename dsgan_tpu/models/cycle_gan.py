@@ -28,7 +28,7 @@ from flax import struct
 from dsgan_tpu import ops
 from dsgan_tpu.models import registry
 from dsgan_tpu.models.base_model import BaseModel
-from dsgan_tpu.models.pix2pix import _apply_net, make_adam
+from dsgan_tpu.models.pix2pix import _apply_net, _apply_net_stats, make_adam
 from dsgan_tpu.utils.image_pool import init_pool, pool_query
 
 
@@ -46,6 +46,11 @@ class CycleGANState:
     pool_B_count: Any
     rng: Any
     step: Any
+    # BatchNorm running averages (--norm batch); None for instance/none
+    stats_G_A: Any = None
+    stats_G_B: Any = None
+    stats_D_A: Any = None
+    stats_D_B: Any = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -67,28 +72,32 @@ def make_cyclegan_step(G_A, G_B, D_A, D_B, cfg: CycleGANConfig):
     def step(state: CycleGANState, real_A, real_B, lr):
         rng, r_pool_a, r_pool_b, r_drop = jax.random.split(state.rng, 4)
 
-        # ---- G losses + grads (joint over both generators)
+        # ---- G losses + grads (joint over both generators); BatchNorm
+        # running stats (when --norm batch) chain through the applications
+        # in program order and leave via aux, stop_gradient'd
         def g_loss_fn(pgs):
             pg_a, pg_b = pgs
-            fake_B = _apply_net(G_A, pg_a, real_A, True, r_drop)
-            rec_A = _apply_net(G_B, pg_b, fake_B, True, r_drop)
-            fake_A = _apply_net(G_B, pg_b, real_B, True, r_drop)
-            rec_B = _apply_net(G_A, pg_a, fake_A, True, r_drop)
+            fake_B, sga = _apply_net_stats(G_A, pg_a, state.stats_G_A, real_A, True, r_drop)
+            rec_A, sgb = _apply_net_stats(G_B, pg_b, state.stats_G_B, fake_B, True, r_drop)
+            fake_A, sgb = _apply_net_stats(G_B, pg_b, sgb, real_B, True, r_drop)
+            rec_B, sga = _apply_net_stats(G_A, pg_a, sga, fake_A, True, r_drop)
 
             if cfg.lambda_identity > 0:
-                idt_A = _apply_net(G_A, pg_a, real_B, True, r_drop)
+                idt_A, sga = _apply_net_stats(G_A, pg_a, sga, real_B, True, r_drop)
                 loss_idt_A = ops.l1_loss(idt_A, real_B) * cfg.lambda_B * cfg.lambda_identity
-                idt_B = _apply_net(G_B, pg_b, real_A, True, r_drop)
+                idt_B, sgb = _apply_net_stats(G_B, pg_b, sgb, real_A, True, r_drop)
                 loss_idt_B = ops.l1_loss(idt_B, real_A) * cfg.lambda_A * cfg.lambda_identity
             else:
                 loss_idt_A = loss_idt_B = jnp.zeros((), jnp.float32)
 
-            loss_G_A = ops.gan_loss(
-                _apply_net(D_A, state.params_D_A, fake_B, True), True, cfg.gan_mode
+            pred_a, sda = _apply_net_stats(
+                D_A, state.params_D_A, state.stats_D_A, fake_B, True
             )
-            loss_G_B = ops.gan_loss(
-                _apply_net(D_B, state.params_D_B, fake_A, True), True, cfg.gan_mode
+            loss_G_A = ops.gan_loss(pred_a, True, cfg.gan_mode)
+            pred_b, sdb = _apply_net_stats(
+                D_B, state.params_D_B, state.stats_D_B, fake_A, True
             )
+            loss_G_B = ops.gan_loss(pred_b, True, cfg.gan_mode)
             loss_cycle_A = ops.l1_loss(rec_A, real_A) * cfg.lambda_A
             loss_cycle_B = ops.l1_loss(rec_B, real_B) * cfg.lambda_B
             loss_tv = ops.tv_loss(fake_B, divisor=256 * 256)
@@ -104,6 +113,7 @@ def make_cyclegan_step(G_A, G_B, D_A, D_B, cfg: CycleGANConfig):
                 fake_B=jax.lax.stop_gradient(fake_B),
                 rec_A=jax.lax.stop_gradient(rec_A),
                 rec_B=jax.lax.stop_gradient(rec_B),
+                stats=(sga, sgb, sda, sdb),
             )
             return total, aux
 
@@ -123,19 +133,27 @@ def make_cyclegan_step(G_A, G_B, D_A, D_B, cfg: CycleGANConfig):
             state.pool_A_images, state.pool_A_count, aux["fake_A"], r_pool_a
         ) if cfg.pool_size > 0 else (state.pool_A_images, state.pool_A_count, aux["fake_A"])
 
+        stats_G_A, stats_G_B, stats_D_A, stats_D_B = aux.pop("stats")
+
         def d_loss_fn(pds):
             pd_a, pd_b = pds
+            pr_a, sda = _apply_net_stats(D_A, pd_a, stats_D_A, real_B, True)
+            pf_a, sda = _apply_net_stats(D_A, pd_a, sda, pooled_fake_B, True)
             loss_D_A = 0.5 * (
-                ops.gan_loss(_apply_net(D_A, pd_a, real_B, True), True, cfg.gan_mode)
-                + ops.gan_loss(_apply_net(D_A, pd_a, pooled_fake_B, True), False, cfg.gan_mode)
+                ops.gan_loss(pr_a, True, cfg.gan_mode)
+                + ops.gan_loss(pf_a, False, cfg.gan_mode)
             )
+            pr_b, sdb = _apply_net_stats(D_B, pd_b, stats_D_B, real_A, True)
+            pf_b, sdb = _apply_net_stats(D_B, pd_b, sdb, pooled_fake_A, True)
             loss_D_B = 0.5 * (
-                ops.gan_loss(_apply_net(D_B, pd_b, real_A, True), True, cfg.gan_mode)
-                + ops.gan_loss(_apply_net(D_B, pd_b, pooled_fake_A, True), False, cfg.gan_mode)
+                ops.gan_loss(pr_b, True, cfg.gan_mode)
+                + ops.gan_loss(pf_b, False, cfg.gan_mode)
             )
-            return loss_D_A + loss_D_B, (loss_D_A, loss_D_B)
+            return loss_D_A + loss_D_B, (loss_D_A, loss_D_B, (sda, sdb))
 
-        (_, (loss_D_A, loss_D_B)), grads_D = jax.value_and_grad(d_loss_fn, has_aux=True)(
+        (_, (loss_D_A, loss_D_B, (stats_D_A, stats_D_B))), grads_D = jax.value_and_grad(
+            d_loss_fn, has_aux=True
+        )(
             (state.params_D_A, state.params_D_B)
         )
         upd_D, opt_D = adam.update(grads_D, state.opt_D)
@@ -164,6 +182,8 @@ def make_cyclegan_step(G_A, G_B, D_A, D_B, cfg: CycleGANConfig):
             pool_A_images=pool_A_images, pool_A_count=pool_A_count,
             pool_B_images=pool_B_images, pool_B_count=pool_B_count,
             rng=rng, step=state.step + 1,
+            stats_G_A=stats_G_A, stats_G_B=stats_G_B,
+            stats_D_A=stats_D_A, stats_D_B=stats_D_B,
         )
         return new_state, metrics, visuals
 
@@ -209,8 +229,12 @@ class CycleGANModel(BaseModel):
         rng = jax.random.PRNGKey(getattr(opt, "seed", 20))
         rng, ka, kb, kda, kdb, ks = jax.random.split(rng, 6)
         h, w = opt.fineSize_h, opt.fineSize_w
-        params_G_A = registry.init_params(self.netG_A, ka, (1, h, w, opt.input_nc), opt.init_type)["params"]
-        params_G_B = registry.init_params(self.netG_B, kb, (1, h, w, opt.output_nc), opt.init_type)["params"]
+        vars_G_A = registry.init_params(self.netG_A, ka, (1, h, w, opt.input_nc), opt.init_type)
+        vars_G_B = registry.init_params(self.netG_B, kb, (1, h, w, opt.output_nc), opt.init_type)
+        params_G_A = vars_G_A["params"]
+        params_G_B = vars_G_B["params"]
+        stats_G_A = vars_G_A.get("batch_stats") or None  # --norm batch only
+        stats_G_B = vars_G_B.get("batch_stats") or None
 
         if self.isTrain:
             use_sigmoid = opt.no_lsgan
@@ -222,8 +246,12 @@ class CycleGANModel(BaseModel):
                 opt.input_nc, opt.ndf, opt.which_model_netD, opt.n_layers_D,
                 opt.norm, use_sigmoid, dtype=dtype,
             )
-            params_D_A = registry.init_params(self.netD_A, kda, (1, h, w, opt.output_nc), opt.init_type)["params"]
-            params_D_B = registry.init_params(self.netD_B, kdb, (1, h, w, opt.input_nc), opt.init_type)["params"]
+            vars_D_A = registry.init_params(self.netD_A, kda, (1, h, w, opt.output_nc), opt.init_type)
+            vars_D_B = registry.init_params(self.netD_B, kdb, (1, h, w, opt.input_nc), opt.init_type)
+            params_D_A = vars_D_A["params"]
+            params_D_B = vars_D_B["params"]
+            stats_D_A = vars_D_A.get("batch_stats") or None
+            stats_D_B = vars_D_B.get("batch_stats") or None
 
             # use_lsgan = not no_lsgan (cycle_gan_model.py:63) — LSGAN default
             cfg = CycleGANConfig(
@@ -246,6 +274,8 @@ class CycleGANModel(BaseModel):
                 pool_A_images=pa_img, pool_A_count=pa_cnt,
                 pool_B_images=pb_img, pool_B_count=pb_cnt,
                 rng=ks, step=jnp.zeros((), jnp.int32),
+                stats_G_A=stats_G_A, stats_G_B=stats_G_B,
+                stats_D_A=stats_D_A, stats_D_B=stats_D_B,
             )
             self.state = self._place_state(self.state)
             self._step_fn = self._jit_step(
@@ -258,10 +288,19 @@ class CycleGANModel(BaseModel):
                 pool_A_images=None, pool_A_count=None,
                 pool_B_images=None, pool_B_count=None,
                 rng=ks, step=jnp.zeros((), jnp.int32),
+                stats_G_A=stats_G_A, stats_G_B=stats_G_B,
             )
 
-        self._infer_A = self._jit_infer(lambda p, x: _apply_net(self.netG_A, p, x, False))
-        self._infer_B = self._jit_infer(lambda p, x: _apply_net(self.netG_B, p, x, False))
+        self._infer_A = self._jit_infer(
+            lambda v, x: _apply_net(
+                self.netG_A, v["params"], x, False, stats=v.get("batch_stats")
+            )
+        )
+        self._infer_B = self._jit_infer(
+            lambda v, x: _apply_net(
+                self.netG_B, v["params"], x, False, stats=v.get("batch_stats")
+            )
+        )
         self.lr = getattr(opt, "lr", 2e-4)
 
     def set_input(self, input):
@@ -278,10 +317,16 @@ class CycleGANModel(BaseModel):
             setattr(self, k, v)
 
     def forward(self):
-        self.fake_B = self._infer_A(self.state.params_G_A, self.real_A)
-        self.rec_A = self._infer_B(self.state.params_G_B, self.fake_B)
-        self.fake_A = self._infer_B(self.state.params_G_B, self.real_B)
-        self.rec_B = self._infer_A(self.state.params_G_A, self.fake_A)
+        va = {"params": self.state.params_G_A}
+        vb = {"params": self.state.params_G_B}
+        if self.state.stats_G_A:
+            va["batch_stats"] = self.state.stats_G_A
+        if self.state.stats_G_B:
+            vb["batch_stats"] = self.state.stats_G_B
+        self.fake_B = self._infer_A(va, self.real_A)
+        self.rec_A = self._infer_B(vb, self.fake_B)
+        self.fake_A = self._infer_B(vb, self.real_B)
+        self.rec_B = self._infer_A(va, self.fake_A)
         return self.fake_B
 
     def cal_ssim(self, input=None):
@@ -314,8 +359,14 @@ class CycleGANModel(BaseModel):
         if which_epoch == "latest":
             which_epoch = ckpt.latest_epoch(self.save_dir)
         tree = ckpt.restore_untyped(self.save_dir, which_epoch)
+
+        def _maybe(t):
+            return jax.tree_util.tree_map(jnp.asarray, t) if t else None
+
         self.state = self.state.replace(
             params_G_A=jax.tree_util.tree_map(jnp.asarray, tree["state"]["params_G_A"]),
             params_G_B=jax.tree_util.tree_map(jnp.asarray, tree["state"]["params_G_B"]),
+            stats_G_A=_maybe(tree["state"].get("stats_G_A")),
+            stats_G_B=_maybe(tree["state"].get("stats_G_B")),
         )
         print(f"loaded generators from epoch {which_epoch} checkpoint")

@@ -142,14 +142,18 @@ class Norm(nn.Module):
     """Dispatch on the reference's --norm flag: instance | batch | none.
 
     'instance' is parameter-free (affine=False, the reference default for
-    every shipped recipe). 'batch' uses batch statistics with a learnable
-    affine — i.e. torch BatchNorm2d train-mode semantics; running-average
-    eval statistics are intentionally NOT tracked (keeps the whole train
-    step a single pure program; deviation documented, eval normalizes
-    with batch stats like train mode).
+    every shipped recipe). 'batch' is torch BatchNorm2d semantics: batch
+    statistics + learnable affine in train mode, with running averages
+    (momentum 0.1, unbiased running var) tracked in the flax
+    ``batch_stats`` collection and used for eval — matching
+    ``get_norm_layer`` (reference networks.py:21-30). Train steps thread
+    the stats through the state (see pix2pix.make_train_step); a
+    non-mutable apply (e.g. inside value_and_grad closures that re-run
+    the same forward) simply skips the running update.
     """
 
     kind: str = "instance"
+    momentum: float = 0.1
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -159,9 +163,27 @@ class Norm(nn.Module):
             c = x.shape[-1]
             scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
             bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+            ra_mean = self.variable(
+                "batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32)
+            )
+            ra_var = self.variable(
+                "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32)
+            )
             xf = x.astype(jnp.float32)
-            mean = jnp.mean(xf, axis=(0, 1, 2), keepdims=True)
-            var = jnp.mean(jnp.square(xf - mean), axis=(0, 1, 2), keepdims=True)
+            if train:
+                mean = jnp.mean(xf, axis=(0, 1, 2))
+                var = jnp.mean(jnp.square(xf - mean), axis=(0, 1, 2))
+                if not self.is_initializing() and self.is_mutable_collection(
+                    "batch_stats"
+                ):
+                    n = x.shape[0] * x.shape[1] * x.shape[2]
+                    unbiased = var * (n / max(n - 1, 1))
+                    m = self.momentum
+                    ra_mean.value = (1.0 - m) * ra_mean.value + m * mean
+                    ra_var.value = (1.0 - m) * ra_var.value + m * unbiased
+            else:
+                mean = ra_mean.value
+                var = ra_var.value
             y = (xf - mean) * jax.lax.rsqrt(var + 1e-5) * scale + bias
             return y.astype(x.dtype)
         if self.kind == "none":

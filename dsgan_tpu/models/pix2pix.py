@@ -48,6 +48,11 @@ class Pix2PixState:
     pool_count: Any
     rng: Any
     step: Any
+    # BatchNorm running averages (--norm batch): flax batch_stats
+    # collections, EMA-updated by the train step, used by eval builds.
+    # None (empty pytree) for instance/none recipes.
+    stats_G: Any = None
+    stats_D: Any = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -80,12 +85,32 @@ def make_adam(beta1):
     return optax.scale_by_adam(b1=beta1, b2=0.999, eps=1e-8, eps_root=0.0)
 
 
-def _apply_net(net, params, x, train, rng=None):
+def _apply_net(net, params, x, train, rng=None, stats=None):
     kwargs = {}
     if "train" in inspect.signature(net.__call__).parameters:
         kwargs["train"] = train
     rngs = {"dropout": rng} if rng is not None else None
-    return net.apply({"params": params}, x, rngs=rngs, **kwargs)
+    variables = {"params": params}
+    if stats:
+        variables["batch_stats"] = stats
+    return net.apply(variables, x, rngs=rngs, **kwargs)
+
+
+def _apply_net_stats(net, params, stats, x, train, rng=None):
+    """Train-mode apply that also EMA-updates BatchNorm running averages.
+    Returns (out, new_stats); with no batch_stats (instance/none norms)
+    it degrades to the plain apply and passes ``stats`` through."""
+    if not stats:
+        return _apply_net(net, params, x, train, rng), stats
+    kwargs = {}
+    if "train" in inspect.signature(net.__call__).parameters:
+        kwargs["train"] = train
+    rngs = {"dropout": rng} if rng is not None else None
+    out, aux = net.apply(
+        {"params": params, "batch_stats": stats}, x, rngs=rngs,
+        mutable=["batch_stats"], **kwargs
+    )
+    return out, jax.lax.stop_gradient(aux["batch_stats"])
 
 
 def _split_scales(pred, n):
@@ -110,10 +135,11 @@ def make_train_step(G, D, vgg: Optional[Vgg16Features], vgg_params, cfg: Pix2Pix
             real_B = real_B.astype(cfg.compute_dtype)
 
         # ---- G forward once, with VJP closure for the later G update
+        # (aux carries EMA-updated BatchNorm stats; None for instance norm)
         def g_forward(pg):
-            return _apply_net(G, pg, real_A, True, r_drop_g)
+            return _apply_net_stats(G, pg, state.stats_G, real_A, True, r_drop_g)
 
-        fake_B, g_vjp = jax.vjp(g_forward, state.params_G)
+        fake_B, g_vjp, stats_G = jax.vjp(g_forward, state.params_G, has_aux=True)
         fake_B_sg = jax.lax.stop_gradient(fake_B)
 
         pool_images, pool_count = state.pool_images, state.pool_count
@@ -139,14 +165,21 @@ def make_train_step(G, D, vgg: Optional[Vgg16Features], vgg_params, cfg: Pix2Pix
                         D, pd, jnp.concatenate([fake_AB, real_AB], axis=0), True, r_drop_d
                     )
                     pred_fake, pred_real = _split_scales(both, fake_AB.shape[0])
+                    sd = state.stats_D
                 else:
-                    pred_fake = _apply_net(D, pd, fake_AB, True, r_drop_d)
-                    pred_real = _apply_net(D, pd, real_AB, True, r_drop_d)
+                    # sequential fake-then-real: torch backward_D's forward
+                    # order, which is also the BatchNorm running-stat order
+                    pred_fake, sd = _apply_net_stats(
+                        D, pd, state.stats_D, fake_AB, True, r_drop_d
+                    )
+                    pred_real, sd = _apply_net_stats(
+                        D, pd, sd, real_AB, True, r_drop_d
+                    )
                 loss_fake = ops.gan_loss(pred_fake, False, cfg.gan_mode)
                 loss_real = ops.gan_loss(pred_real, True, cfg.gan_mode)
-                return 0.5 * (loss_fake + loss_real), (loss_fake, loss_real)
+                return 0.5 * (loss_fake + loss_real), (loss_fake, loss_real, sd)
 
-            (loss_D, (loss_D_fake, loss_D_real)), grads_D = jax.value_and_grad(
+            (loss_D, (loss_D_fake, loss_D_real, stats_D)), grads_D = jax.value_and_grad(
                 d_loss_fn, has_aux=True
             )(state.params_D)
             upd_D, opt_D = adam.update(grads_D, state.opt_D)
@@ -154,6 +187,7 @@ def make_train_step(G, D, vgg: Optional[Vgg16Features], vgg_params, cfg: Pix2Pix
             metrics.update(loss_D=loss_D, loss_D_fake=loss_D_fake, loss_D_real=loss_D_real)
         else:
             params_D, opt_D = state.params_D, state.opt_D
+            stats_D = state.stats_D
             zero = jnp.zeros((), jnp.float32)
             metrics.update(loss_D=zero, loss_D_fake=zero, loss_D_real=zero)
 
@@ -174,7 +208,12 @@ def make_train_step(G, D, vgg: Optional[Vgg16Features], vgg_params, cfg: Pix2Pix
                 fake_AB_g = (
                     jnp.concatenate([real_A, fb], axis=-1) if cfg.use_condition else fb
                 )
-                pred_fake = _apply_net(D, params_D, fake_AB_g, True, r_drop_d)
+                # reference backward_G runs another train-mode D forward,
+                # which is a third BatchNorm running-stat update; stats are
+                # stop_gradient'd so the G grad is unaffected
+                pred_fake, aux["stats_D"] = _apply_net_stats(
+                    D, params_D, stats_D, fake_AB_g, True, r_drop_d
+                )
                 loss_gan = ops.gan_loss(pred_fake, True, cfg.gan_mode)
             else:
                 loss_gan = jnp.zeros((), jnp.float32)
@@ -203,6 +242,7 @@ def make_train_step(G, D, vgg: Optional[Vgg16Features], vgg_params, cfg: Pix2Pix
         (grads_G,) = g_vjp(dfake)
         upd_G, opt_G = adam.update(grads_G, state.opt_G)
         params_G = sgd_apply(state.params_G, upd_G, lr)
+        stats_D = g_aux.pop("stats_D", stats_D)
         metrics.update(g_aux)
 
         # ---- on-device quality metrics (reference protocol, no host sync)
@@ -221,6 +261,8 @@ def make_train_step(G, D, vgg: Optional[Vgg16Features], vgg_params, cfg: Pix2Pix
             pool_count=pool_count,
             rng=rng,
             step=state.step + 1,
+            stats_G=stats_G,
+            stats_D=stats_D,
         )
         # visuals leave the step in f32: numpy/PIL on the host don't speak
         # bf16, and the cast is one small tensor
@@ -261,9 +303,11 @@ class Pix2PixModel(BaseModel):
         rng = jax.random.PRNGKey(getattr(opt, "seed", 20))
         rng, kg, kd, kv, kstate = jax.random.split(rng, 5)
         h, w = opt.fineSize_h, opt.fineSize_w
-        params_G = registry.init_params(
+        vars_G = registry.init_params(
             self.netG, kg, (1, h, w, opt.input_nc), opt.init_type
-        )["params"]
+        )
+        params_G = vars_G["params"]
+        stats_G = vars_G.get("batch_stats") or None  # --norm batch only
 
         if self.isTrain:
             use_sigmoid = opt.no_lsgan
@@ -274,9 +318,11 @@ class Pix2PixModel(BaseModel):
                 d_in_nc, opt.ndf, opt.which_model_netD, opt.n_layers_D,
                 opt.norm, use_sigmoid, dtype=dtype,
             )
-            params_D = registry.init_params(
+            vars_D = registry.init_params(
                 self.netD, kd, (1, h, w, d_in_nc), opt.init_type
-            )["params"]
+            )
+            params_D = vars_D["params"]
+            stats_D = vars_D.get("batch_stats") or None
 
             # GAN criterion wiring matches GANLoss(use_lsgan=opt.no_lsgan):
             # default no_lsgan=False -> BCE-with-logits on raw logits.
@@ -338,6 +384,8 @@ class Pix2PixModel(BaseModel):
                 pool_count=pool_count,
                 rng=kstate,
                 step=jnp.zeros((), jnp.int32),
+                stats_G=stats_G,
+                stats_D=stats_D,
             )
             self.state = self._place_state(self.state)
             self._step_fn = self._jit_step(
@@ -347,7 +395,7 @@ class Pix2PixModel(BaseModel):
             self.state = Pix2PixState(
                 params_G=params_G, params_D=None, opt_G=None, opt_D=None,
                 pool_images=None, pool_count=None, rng=kstate,
-                step=jnp.zeros((), jnp.int32),
+                step=jnp.zeros((), jnp.int32), stats_G=stats_G,
             )
 
         # inference uses a forward-only build of the same generator
@@ -360,7 +408,9 @@ class Pix2PixModel(BaseModel):
             remat=getattr(opt, "remat", False), inference=True,
         )
         self._infer_fn = self._jit_infer(
-            lambda pg, x: _apply_net(netG_infer, pg, x, False)
+            lambda v, x: _apply_net(
+                netG_infer, v["params"], x, False, stats=v.get("batch_stats")
+            )
         )
         self.lr = getattr(opt, "lr", 2e-4)
 
@@ -378,7 +428,10 @@ class Pix2PixModel(BaseModel):
         )
 
     def forward(self):
-        self.fake_B = self._infer_fn(self.state.params_G, self.real_A)
+        v = {"params": self.state.params_G}
+        if self.state.stats_G:
+            v["batch_stats"] = self.state.stats_G
+        self.fake_B = self._infer_fn(v, self.real_A)
         return self.fake_B
 
     # -- metrics (device-computed; one sync per call) -----------------------
@@ -421,5 +474,10 @@ class Pix2PixModel(BaseModel):
         params_G = self._place_state(
             jax.tree_util.tree_map(jnp.asarray, tree["state"]["params_G"])
         )
-        self.state = self.state.replace(params_G=params_G)
+        stats_G = tree["state"].get("stats_G") or None
+        if stats_G is not None:
+            stats_G = self._place_state(
+                jax.tree_util.tree_map(jnp.asarray, stats_G)
+            )
+        self.state = self.state.replace(params_G=params_G, stats_G=stats_G)
         print(f"loaded generator from epoch {which_epoch} checkpoint")

@@ -98,6 +98,15 @@ def replicate(tree, mesh):
 
 def shard_batch(batch, mesh):
     """Place an NHWC numpy/jax batch onto the mesh (N x H sharded)."""
+    data, spatial = mesh.devices.shape
+    if batch.shape[0] % data != 0 or batch.shape[1] % spatial != 0:
+        raise ValueError(
+            f"batch {batch.shape} does not tile onto the {data}x{spatial} "
+            f"(data x spatial) mesh: N must divide by {data} and H by "
+            f"{spatial}. The train loader guarantees full batches "
+            "(drop_last); direct model-API drives must feed batches of "
+            "exactly --batchSize, or build the model with matching axes."
+        )
     return jax.device_put(batch, batch_sharding(mesh))
 
 

@@ -140,3 +140,51 @@ def test_testmodel_single_dataset_cli(tiny_dataset, tmp_path):
     )
     web_dir = os.path.join(results, "tm", "test_all/_1")
     assert os.path.isfile(os.path.join(web_dir, "index.html"))
+
+
+def test_batch_norm_recipe_end_to_end(tiny_dataset, tmp_path):
+    """--norm batch trains, checkpoints its BatchNorm running averages,
+    and the eval harness normalizes with them (torch eval semantics)."""
+    import numpy as np
+
+    from dsgan_tpu.test import main as test_main
+    from dsgan_tpu.train import main as train_main
+    from dsgan_tpu.utils import checkpoint as ckpt
+
+    out = str(tmp_path / "out")
+    train_main(
+        COMMON + TRAIN_ONLY + ["--norm", "batch", "--niter", "1",
+                  "--niter_decay", "0", "--print_freq", "100", "--name", "bn"],
+        dataset_path=tiny_dataset,
+        out_path=out,
+    )
+    tree = ckpt.restore_untyped(os.path.join(out, "checkpoints", "bn"), 1)
+    stats = tree["state"].get("stats_G")
+    assert stats, "no batch_stats in the checkpoint"
+    leaves = [np.asarray(v) for v in
+              __import__("jax").tree_util.tree_leaves(stats)]
+    assert any(np.abs(l).max() > 0 for l in leaves), "running stats never updated"
+    # running mean must have moved off its init (zeros) somewhere
+    means = [np.asarray(v) for k, v in _flat_items(stats) if k.endswith("mean")]
+    assert any(np.abs(m).max() > 1e-6 for m in means)
+
+    results = str(tmp_path / "results")
+    test_main(
+        COMMON + ["--norm", "batch", "--name", "bn", "--which_epoch", "1",
+                  "--results_dir", results, "--how_many", "2"],
+        dataset_path=tiny_dataset,
+        out_path=out,
+    )
+    web_dir = os.path.join(results, "bn", "test_all/_1")
+    assert os.path.isfile(os.path.join(web_dir, "metrics.csv"))
+
+
+def _flat_items(tree, prefix=""):
+    out = []
+    for k, v in tree.items():
+        key = f"{prefix}/{k}"
+        if isinstance(v, dict):
+            out.extend(_flat_items(v, key))
+        else:
+            out.append((key, v))
+    return out

@@ -59,7 +59,10 @@ def test_cyclegan_cycle_improves_when_only_cycle_loss(tmp_path):
     from dsgan_tpu.models.cycle_gan import CycleGANModel
 
     m = CycleGANModel()
-    m.initialize(cyc_opt(tmp_path, pool_size=0, lr=1e-3))
+    # batchSize must match the actual fed batch: the mesh data
+    # axis is sized from it (the train loader guarantees this
+    # via drop_last; direct API drives must too)
+    m.initialize(cyc_opt(tmp_path, pool_size=0, lr=1e-3, batchSize=1))
     rng = np.random.default_rng(1)
     b = {
         "A": rng.uniform(-1, 1, (1, 32, 32, 3)).astype(np.float32),

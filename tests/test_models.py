@@ -119,3 +119,55 @@ def test_reinit_respects_init_type():
     kb = vb["params"]["conv_in"]["kernel"]
     # normal has std 0.02; kaiming std sqrt(2/fan_in) >> 0.02
     assert float(jnp.std(ka)) < 0.05 < float(jnp.std(kb))
+
+
+def test_batch_norm_running_stats_match_torch():
+    """Norm('batch') train-mode EMA + eval semantics vs torch BatchNorm2d
+    (VERDICT r2: eval previously reused train-mode statistics)."""
+    import torch
+
+    from dsgan_tpu.models.layers import Norm
+
+    rng = np.random.default_rng(11)
+    c = 5
+    xs = [rng.standard_normal((2, 6, 7, c)).astype(np.float32) * (i + 1) + i
+          for i in range(4)]
+
+    tnorm = torch.nn.BatchNorm2d(c)
+    tnorm.train()
+
+    m = Norm("batch")
+    variables = m.init(jax.random.PRNGKey(0), jnp.asarray(xs[0]), True)
+    stats = variables["batch_stats"]
+    params = variables["params"]
+
+    for x in xs:
+        yt = tnorm(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+        yj, aux = m.apply(
+            {"params": params, "batch_stats": stats},
+            jnp.asarray(x), True, mutable=["batch_stats"],
+        )
+        stats = aux["batch_stats"]
+        np.testing.assert_allclose(
+            np.asarray(yj), yt.detach().numpy().transpose(0, 2, 3, 1),
+            rtol=1e-4, atol=1e-4,
+        )
+
+    np.testing.assert_allclose(
+        np.asarray(stats["mean"]), tnorm.running_mean.numpy(), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(stats["var"]), tnorm.running_var.numpy(), rtol=1e-4, atol=1e-5
+    )
+
+    # eval: running averages, not batch statistics
+    tnorm.eval()
+    xe = rng.standard_normal((2, 6, 7, c)).astype(np.float32) * 3 + 2
+    yt = tnorm(torch.from_numpy(xe.transpose(0, 3, 1, 2)))
+    yj = m.apply(
+        {"params": params, "batch_stats": stats}, jnp.asarray(xe), False
+    )
+    np.testing.assert_allclose(
+        np.asarray(yj), yt.detach().numpy().transpose(0, 2, 3, 1),
+        rtol=1e-4, atol=1e-4,
+    )

@@ -139,8 +139,8 @@ def test_checkpoint_roundtrip(tmp_path):
     m3.load_networks(1)
     x = jnp.asarray(batch(rng)["A"])
     ya = m.forward() if False else None
-    y2 = m2._infer_fn(m2.state.params_G, x)
-    y3 = m3._infer_fn(m3.state.params_G, x)
+    y2 = m2._infer_fn({"params": m2.state.params_G}, x)
+    y3 = m3._infer_fn({"params": m3.state.params_G}, x)
     np.testing.assert_allclose(np.asarray(y2), np.asarray(y3), atol=1e-6)
 
 
