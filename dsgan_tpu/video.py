@@ -99,17 +99,38 @@ def main(argv=None):
     params = jax.tree_util.tree_map(jnp.asarray, tree["state"]["params_G"])
     print(f"loaded generator from epoch {which}")
 
-    infer = jax.jit(lambda p, x: g.apply({"params": p}, x))
+    # --data_axis/--spatial_axis shard the frame batch (N) and image rows
+    # (H, XLA halo exchanges) across the mesh — the 512^2-class / long-
+    # sequence path. The batch is always padded to bs, so the data axis
+    # sees full batches.
+    from dsgan_tpu.parallel import (
+        make_parallel_infer, replicate, resolve_mesh, shard_batch,
+    )
+
+    bs = max(int(opt.batchSize), 1)
+    mesh = resolve_mesh(
+        getattr(opt, "data_axis", 0), getattr(opt, "spatial_axis", 1),
+        batch_size=bs, height=h,
+    )
+    apply_fn = lambda p, x: g.apply({"params": p}, x)
+    if mesh is not None:
+        d, s = mesh.devices.shape
+        print(f"video mesh: data={d} x spatial={s}")
+        infer = make_parallel_infer(apply_fn, mesh)
+        params = replicate(params, mesh)
+        put = lambda x: shard_batch(x, mesh)
+    else:
+        infer = jax.jit(apply_fn)
+        put = jnp.asarray
 
     nc = int(opt.input_nc)
-    bs = max(int(opt.batchSize), 1)
     ys = []
     for i in range(0, len(paths), bs):
         chunk = paths[i:i + bs]
         x = _load_frames(chunk, h, w, nc)
         if len(chunk) < bs:  # pad to the compiled batch, drop after
             x = np.concatenate([x, np.zeros((bs - len(chunk), h, w, nc), np.float32)])
-        y = np.asarray(infer(params, jnp.asarray(x)), np.float32)[: len(chunk)]
+        y = np.asarray(infer(params, put(x)), np.float32)[: len(chunk)]
         ys.append(y)
     y = np.concatenate(ys)
     x_all = _load_frames(paths, h, w, nc)
