@@ -34,7 +34,6 @@ def pallas_interpret():
     return os.environ.get("DSGAN_PALLAS_INTERPRET", "0") == "1"
 
 
-from dsgan_tpu.pallas.dwconv import dwconv2d  # noqa: E402
 from dsgan_tpu.pallas.block_core import (  # noqa: E402
     block_core, block_core_fits, block_core_in,
     block_core2_fits, block_core2_in,
@@ -43,7 +42,6 @@ from dsgan_tpu.pallas.block_core import (  # noqa: E402
 __all__ = [
     "pallas_enabled",
     "pallas_interpret",
-    "dwconv2d",
     "block_core",
     "block_core_fits",
     "block_core_in",
