@@ -33,8 +33,16 @@ class AlignedDataset:
         opt = self.opt
         A_path = self.A_paths[index]
         B_path = self.B_paths[index]
-        A = T.to_array(_open_rgb(A_path))
-        B = T.to_array(_open_rgb(B_path))
+
+        input_nc = opt.output_nc if opt.which_direction == "BtoA" else opt.input_nc
+        output_nc = opt.input_nc if opt.which_direction == "BtoA" else opt.output_nc
+        # 3-channel recipes stay uint8 on the host end to end — the
+        # /255*2-1 normalize runs on device (BaseModel._place_batch),
+        # bit-identically, at a quarter of the H2D bytes. Grayscale
+        # recipes keep the f32 host path (luma mix is an f32 op).
+        u8 = input_nc == 3 and output_nc == 3
+        A = np.asarray(_open_rgb(A_path), dtype=np.uint8)
+        B = np.asarray(_open_rgb(B_path), dtype=np.uint8)
 
         w_off_max = max(0, opt.loadSize_w - opt.fineSize_w - 1)
         h_off_max = max(0, opt.loadSize_h - opt.fineSize_h - 1)
@@ -43,19 +51,17 @@ class AlignedDataset:
         A = T.crop(A, h_off, w_off, opt.fineSize_h, opt.fineSize_w)
         B = T.crop(B, h_off, w_off, opt.fineSize_h, opt.fineSize_w)
 
-        A = T.normalize(A)
-        B = T.normalize(B)
-
-        input_nc = opt.output_nc if opt.which_direction == "BtoA" else opt.input_nc
-        output_nc = opt.input_nc if opt.which_direction == "BtoA" else opt.output_nc
-
         if (not opt.no_flip) and self.rng.random() < 0.5:
             A = T.hflip(A)
             B = T.hflip(B)
-        if input_nc == 1:
-            A = T.rgb_to_gray(A)
-        if output_nc == 1:
-            B = T.rgb_to_gray(B)
+
+        if not u8:
+            A = T.normalize(A.astype(np.float32) / 255.0)
+            B = T.normalize(B.astype(np.float32) / 255.0)
+            if input_nc == 1:
+                A = T.rgb_to_gray(A)
+            if output_nc == 1:
+                B = T.rgb_to_gray(B)
 
         return {
             "A": np.ascontiguousarray(A),
@@ -96,8 +102,9 @@ class AlignedDataset:
         )
         a_paths = [self.A_paths[i] for i in indices]
         b_paths = [self.B_paths[i] for i in indices]
-        a, _ = rt.load_batch(a_paths, oy, ox, flips, opt.fineSize_h, opt.fineSize_w, num_threads)
-        b, _ = rt.load_batch(b_paths, oy, ox, flips, opt.fineSize_h, opt.fineSize_w, num_threads)
+        # uint8 out of the native path too: normalize runs on device
+        a, _ = rt.load_batch_u8(a_paths, oy, ox, flips, opt.fineSize_h, opt.fineSize_w, num_threads)
+        b, _ = rt.load_batch_u8(b_paths, oy, ox, flips, opt.fineSize_h, opt.fineSize_w, num_threads)
         return {"A": a, "B": b, "A_paths": a_paths, "B_paths": b_paths}
 
 
@@ -114,7 +121,10 @@ class UnalignedDataset:
         self.A_size = len(self.A_paths)
         self.B_size = len(self.B_paths)
         self.rng = rng or np.random.default_rng(getattr(opt, "seed", 20))
-        self.transform = T.get_transform(opt, self.rng)
+        # uint8 host pipeline when no side needs the (f32) luma mix —
+        # normalize runs on device, bit-identically (see AlignedDataset)
+        self._u8 = opt.input_nc == 3 and opt.output_nc == 3
+        self.transform = T.get_transform(opt, self.rng, uint8=self._u8)
 
     def __getitem__(self, index):
         A_path = self.A_paths[index % self.A_size]
@@ -154,7 +164,12 @@ class SingleDataset:
         self.opt = opt
         self.A_paths = list_images(opt.dataroot)
         self.rng = rng or np.random.default_rng(getattr(opt, "seed", 20))
-        self.transform = T.get_transform(opt, self.rng)
+        if opt.which_direction == "BtoA":
+            nc = opt.output_nc
+        else:
+            nc = opt.input_nc
+        self._u8 = nc == 3
+        self.transform = T.get_transform(opt, self.rng, uint8=self._u8)
 
     def __getitem__(self, index):
         A_path = self.A_paths[index]

@@ -87,13 +87,22 @@ class BaseModel:
         return state
 
     def _place_batch(self, arr):
-        """Device-put an NHWC host batch, N x H sharded when on a mesh."""
+        """Device-put an NHWC host batch, N x H sharded when on a mesh.
+
+        uint8 batches (the 3-channel loader fast path) are shipped raw —
+        a quarter of the H2D bytes, which matters on relay-attached
+        accelerators (~1.4 GB/s measured: 19 ms/step of f32 pixels at the
+        default recipe). The [-1,1] normalize happens INSIDE the consuming
+        jitted program (ops.normalize_u8 at trace time, keyed on the
+        static dtype) — a separate normalize jit would cost one dispatch
+        round-trip per tensor per step through the relay."""
         import jax.numpy as jnp
 
+        arr = np.asarray(arr)
         if self.mesh is not None:
             from dsgan_tpu.parallel import shard_batch
 
-            return shard_batch(np.asarray(arr), self.mesh)
+            return shard_batch(arr, self.mesh)
         return jnp.asarray(arr)
 
     # -- lifecycle ---------------------------------------------------------

@@ -71,6 +71,9 @@ def make_cyclegan_step(G_A, G_B, D_A, D_B, cfg: CycleGANConfig):
 
     def step(state: CycleGANState, real_A, real_B, lr):
         rng, r_pool_a, r_pool_b, r_drop = jax.random.split(state.rng, 4)
+        # raw-uint8 loader batches normalize here, inside the one program
+        real_A = ops.normalize_u8(real_A)
+        real_B = ops.normalize_u8(real_B)
 
         # ---- G losses + grads (joint over both generators); BatchNorm
         # running stats (when --norm batch) chain through the applications
@@ -293,12 +296,14 @@ class CycleGANModel(BaseModel):
 
         self._infer_A = self._jit_infer(
             lambda v, x: _apply_net(
-                self.netG_A, v["params"], x, False, stats=v.get("batch_stats")
+                self.netG_A, v["params"], ops.normalize_u8(x), False,
+                stats=v.get("batch_stats")
             )
         )
         self._infer_B = self._jit_infer(
             lambda v, x: _apply_net(
-                self.netG_B, v["params"], x, False, stats=v.get("batch_stats")
+                self.netG_B, v["params"], ops.normalize_u8(x), False,
+                stats=v.get("batch_stats")
             )
         )
         self.lr = getattr(opt, "lr", 2e-4)

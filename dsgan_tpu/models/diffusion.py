@@ -133,6 +133,8 @@ def make_diffusion_train_step(net, cfg: DiffusionConfig):
 
     def step(state: DiffusionState, real_A, real_B, lr):
         rng, r_t, r_eps = jax.random.split(state.rng, 3)
+        real_A = ops.normalize_u8(real_A)
+        real_B = ops.normalize_u8(real_B)
         if cfg.compute_dtype is not None:
             real_A = real_A.astype(cfg.compute_dtype)
             real_B = real_B.astype(cfg.compute_dtype)
@@ -168,6 +170,7 @@ def make_ddim_sampler(net, cfg: DiffusionConfig, sample_steps=20):
     )
 
     def sample(params, cond, rng):
+        cond = ops.normalize_u8(cond)
         shape = cond.shape[:-1] + (net.out_nc,)
         x = jax.random.normal(rng, shape, jnp.float32)
 
@@ -268,15 +271,17 @@ class DiffusionModel(BaseModel):
         if freq and (self._probe_count % freq == 1 or freq == 1):
             self.forward()
             fake_q = ops.metrics.quantize_uint8(jnp.asarray(self.fake_B))
-            real_q = ops.metrics.quantize_uint8(self.real_B.astype(jnp.float32))
+            rb = self.real_B
+            real_q = (rb.astype(jnp.float32) if rb.dtype == jnp.uint8
+                      else ops.metrics.quantize_uint8(rb.astype(jnp.float32)))
             self._metrics = dict(self._metrics)
             self._metrics["ssim"] = ops.ssim_uint8(real_q, fake_q)
             self._metrics["psnr"] = ops.psnr_uint8(real_q, fake_q)
 
     def forward(self):
         rng = jax.random.fold_in(jax.random.PRNGKey(0), int(np.asarray(self.state.step)))
-        cond = self.real_A.astype(jnp.float32)
-        self.fake_B = self._sampler(self.state.params, cond, rng)
+        # raw dtype preserved: the sampler normalizes uint8 conds in-jit
+        self.fake_B = self._sampler(self.state.params, self.real_A, rng)
         return self.fake_B
 
     def get_current_visuals(self):

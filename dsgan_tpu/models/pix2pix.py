@@ -130,6 +130,9 @@ def make_train_step(G, D, vgg: Optional[Vgg16Features], vgg_params, cfg: Pix2Pix
 
     def step(state: Pix2PixState, real_A, real_B, lr):
         rng, r_pool, r_drop_g, r_drop_d = jax.random.split(state.rng, 4)
+        # raw-uint8 loader batches normalize here, inside the one program
+        real_A = ops.normalize_u8(real_A)
+        real_B = ops.normalize_u8(real_B)
         if cfg.compute_dtype is not None:
             real_A = real_A.astype(cfg.compute_dtype)
             real_B = real_B.astype(cfg.compute_dtype)
@@ -409,7 +412,8 @@ class Pix2PixModel(BaseModel):
         )
         self._infer_fn = self._jit_infer(
             lambda v, x: _apply_net(
-                netG_infer, v["params"], x, False, stats=v.get("batch_stats")
+                netG_infer, v["params"], ops.normalize_u8(x), False,
+                stats=v.get("batch_stats")
             )
         )
         self.lr = getattr(opt, "lr", 2e-4)

@@ -27,7 +27,9 @@ from dsgan_tpu.ops.losses import (
     perceptual_loss,
     ssim_loss,
 )
-from dsgan_tpu.ops.metrics import psnr_uint8, ssim_uint8, psnr_ref, ssim_ref
+from dsgan_tpu.ops.metrics import (
+    normalize_u8, psnr_ref, psnr_uint8, ssim_ref, ssim_uint8,
+)
 from dsgan_tpu.ops.initializers import make_initializer
 
 __all__ = [
@@ -53,6 +55,7 @@ __all__ = [
     "tv_loss",
     "perceptual_loss",
     "ssim_loss",
+    "normalize_u8",
     "psnr_uint8",
     "ssim_uint8",
     "psnr_ref",

@@ -22,6 +22,19 @@ import numpy as np
 from jax import lax
 
 
+def normalize_u8(x):
+    """Raw uint8 pixels -> [-1,1] float32; identity for float inputs.
+
+    The trace-time dtype branch lets jitted steps accept either the
+    loader's raw-uint8 fast path (quarter H2D bytes; see
+    data/transforms.get_transform) or pre-normalized float batches —
+    same f32 ops/order as the host pipeline, so the paths are
+    bit-identical."""
+    if x.dtype == jnp.uint8:
+        return x.astype(jnp.float32) / 255.0 * 2.0 - 1.0
+    return x
+
+
 def quantize_uint8(x):
     """[-1,1] NHWC float -> [0,255] 'uint8' values (still float, on device).
 

@@ -51,6 +51,13 @@ def _load():
         ctypes.POINTER(ctypes.c_int), ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.POINTER(ctypes.c_float),
     ]
+    lib.dsgan_load_batch_u8.restype = ctypes.c_int
+    lib.dsgan_load_batch_u8.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
+    ]
     lib.dsgan_probe.restype = ctypes.c_int
     lib.dsgan_probe.argtypes = [
         ctypes.c_char_p, ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)
@@ -72,6 +79,26 @@ def probe(path):
     if lib.dsgan_probe(path.encode(), ctypes.byref(w), ctypes.byref(h)):
         return w.value, h.value
     return None
+
+
+def load_batch_u8(paths, offs_y, offs_x, flips, crop_h, crop_w, num_threads=4):
+    """Decode->crop->flip a batch as raw uint8 (n, crop_h, crop_w, 3) —
+    the [-1,1] normalize runs on device (same f32 ops, bit-identical,
+    quarter of the H2D bytes). Returns (batch, ok_count)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native runtime not available")
+    n = len(paths)
+    out = np.empty((n, crop_h, crop_w, 3), np.uint8)
+    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    c_oy = (ctypes.c_int * n)(*[int(v) for v in offs_y])
+    c_ox = (ctypes.c_int * n)(*[int(v) for v in offs_x])
+    c_fl = (ctypes.c_int * n)(*[int(v) for v in flips])
+    ok = lib.dsgan_load_batch_u8(
+        c_paths, n, c_oy, c_ox, c_fl, crop_h, crop_w, int(num_threads),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return out, ok
 
 
 def load_batch(paths, offs_y, offs_x, flips, crop_h, crop_w, num_threads=4):

@@ -143,6 +143,29 @@ void postprocess(const Image& im, int oy, int ox, int ch, int cw, int flip, floa
     }
 }
 
+// uint8 variant: crop+flip only — the [-1,1] normalize runs on the
+// accelerator (quarter of the host->device bytes; see data/transforms.py)
+void postprocess_u8(const Image& im, int oy, int ox, int ch, int cw, int flip,
+                    uint8_t* dst) {
+    for (int y = 0; y < ch; y++) {
+        int sy = oy + y;
+        if (sy < 0) sy = 0;
+        if (sy >= im.h) sy = im.h - 1;
+        const uint8_t* srow = im.rgb.data() + size_t(sy) * im.w * 3;
+        uint8_t* drow = dst + size_t(y) * cw * 3;
+        for (int x = 0; x < cw; x++) {
+            int sx = ox + (flip ? (cw - 1 - x) : x);
+            if (sx < 0) sx = 0;
+            if (sx >= im.w) sx = im.w - 1;
+            const uint8_t* p = srow + size_t(sx) * 3;
+            uint8_t* q = drow + size_t(x) * 3;
+            q[0] = p[0];
+            q[1] = p[1];
+            q[2] = p[2];
+        }
+    }
+}
+
 }  // namespace
 
 extern "C" {
@@ -167,6 +190,34 @@ int dsgan_load_batch(const char** paths, int n, const int* offs_y, const int* of
                 ok[i] = 1;
             } else {
                 memset(dst, 0, stride * sizeof(float));
+            }
+        }
+    };
+    std::vector<std::thread> threads;
+    for (int t = 0; t < num_threads; t++) threads.emplace_back(work, t);
+    for (auto& th : threads) th.join();
+    int total = 0;
+    for (int v : ok) total += v;
+    return total;
+}
+
+// uint8 batch: decode + crop + flip, normalize deferred to the device.
+int dsgan_load_batch_u8(const char** paths, int n, const int* offs_y,
+                        const int* offs_x, const int* flips, int crop_h,
+                        int crop_w, int num_threads, uint8_t* out) {
+    if (num_threads < 1) num_threads = 1;
+    std::vector<int> ok(n, 0);
+    const size_t stride = size_t(crop_h) * crop_w * 3;
+
+    auto work = [&](int t) {
+        for (int i = t; i < n; i += num_threads) {
+            Image im;
+            uint8_t* dst = out + size_t(i) * stride;
+            if (decode_file(paths[i], &im)) {
+                postprocess_u8(im, offs_y[i], offs_x[i], crop_h, crop_w, flips[i], dst);
+                ok[i] = 1;
+            } else {
+                memset(dst, 0, stride);
             }
         }
     };

@@ -7,10 +7,13 @@ import numpy as np
 
 def tensor2im(x):
     """First batch element of an NHWC [-1,1] array -> uint8 HWC RGB
-    (reference util.py:10-19)."""
+    (reference util.py:10-19). uint8 inputs (the raw-pixel loader fast
+    path) pass through unchanged — they ARE the image bytes."""
     arr = np.asarray(x)
     if arr.ndim == 4:
         arr = arr[0]
+    if arr.dtype == np.uint8:
+        return arr
     arr = (arr + 1.0) / 2.0 * 255.0
     return np.clip(arr, 0, 255).astype(np.uint8)
 

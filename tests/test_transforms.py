@@ -132,3 +132,44 @@ def test_unaligned_gray_channels(tmp_path):
     item = ds[0]
     assert item["A"].shape == (8, 8, 1)
     assert item["B"].shape == (8, 8, 3)
+
+
+def test_uint8_pipeline_bit_identical_to_f32(tmp_path):
+    """The uint8 host path + on-device normalize must reproduce the f32
+    host pipeline BIT-exactly: same crop/flip RNG draws, and /255*2-1 is
+    the same f32 op sequence on either side of the transfer."""
+    import argparse
+
+    import jax.numpy as jnp
+
+    from dsgan_tpu.data.datasets import AlignedDataset
+
+    rng = np.random.default_rng(0)
+    d = tmp_path / "train_all"
+    d.mkdir()
+    for pfx in "ab":
+        arr = rng.integers(0, 255, (40, 40, 3)).astype(np.uint8)
+        Image.fromarray(arr).save(d / f"{pfx}_0.png")
+
+    opt = argparse.Namespace(
+        dataroot=str(tmp_path), phase="train_all", resize_or_crop="resize_and_crop",
+        loadSize_w=40, loadSize_h=40, fineSize_w=32, fineSize_h=32,
+        which_direction="AtoB", input_nc=3, output_nc=3, no_flip=False, seed=5,
+    )
+    ds = AlignedDataset(); ds.initialize(opt)
+    item = ds[0]
+    assert item["A"].dtype == np.uint8  # fast path engaged
+
+    # replay the f32 host pipeline with the same RNG stream
+    ref_rng = np.random.default_rng(5)
+    A = np.asarray(Image.open(ds.A_paths[0]).convert("RGB"), np.float32) / 255.0
+    w_off = int(ref_rng.integers(0, 40 - 32 - 1 + 1))
+    h_off = int(ref_rng.integers(0, 40 - 32 - 1 + 1))
+    A = A[h_off:h_off + 32, w_off:w_off + 32, :] * 2.0 - 1.0
+    if ref_rng.random() < 0.5:
+        A = A[:, ::-1, :]
+
+    dev = np.asarray(
+        jnp.asarray(item["A"]).astype(jnp.float32) / 255.0 * 2.0 - 1.0
+    )
+    np.testing.assert_array_equal(dev, A.astype(np.float32))
