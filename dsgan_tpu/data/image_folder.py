@@ -34,3 +34,46 @@ def list_images(dir):
     """Flat sorted list of all images under dir (no split)."""
     a, b = make_dataset(dir)
     return a + b
+
+
+def default_loader(path):
+    """PIL RGB loader (reference image_folder.py:35-36)."""
+    from PIL import Image
+
+    return Image.open(path).convert("RGB")
+
+
+class ImageFolder:
+    """Flat image-directory dataset (reference image_folder.py:41-66).
+
+    The reference class is dead code AND latently broken — it feeds
+    ``make_dataset``'s half-split 2-tuple straight into ``self.imgs``,
+    so ``len()`` is 2 and ``__getitem__`` yields path lists. This
+    rebuild keeps the documented contract (sorted flat listing, optional
+    transform, ``return_paths``) and actually works.
+    """
+
+    def __init__(self, root, transform=None, return_paths=False,
+                 loader=default_loader):
+        imgs = list_images(root)
+        if len(imgs) == 0:
+            raise RuntimeError(
+                "Found 0 images in: " + root + "\n"
+                "Supported image extensions are: " + ",".join(IMG_EXTENSIONS))
+        self.root = root
+        self.imgs = imgs
+        self.transform = transform
+        self.return_paths = return_paths
+        self.loader = loader
+
+    def __getitem__(self, index):
+        path = self.imgs[index]
+        img = self.loader(path)
+        if self.transform is not None:
+            img = self.transform(img)
+        if self.return_paths:
+            return img, path
+        return img
+
+    def __len__(self):
+        return len(self.imgs)

@@ -121,6 +121,15 @@ class BaseModel:
     def optimize_parameters(self):
         raise NotImplementedError
 
+    def eval(self):
+        """Switch nets to eval mode (reference base_model.py:48-52).
+
+        In this functional design the inference builds (``_infer_fn``)
+        already apply with ``train=False`` — dropout off, BatchNorm
+        running statistics — so there is no module state to flip; the
+        method exists for API parity and simply records the mode."""
+        self.is_eval = True
+
     def test(self):
         """Inference forward (no grads by construction — pure function)."""
         self.forward()

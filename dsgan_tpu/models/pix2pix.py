@@ -438,6 +438,45 @@ class Pix2PixModel(BaseModel):
         self.fake_B = self._infer_fn(v, self.real_A)
         return self.fake_B
 
+    # -- image getters (reference pix2pix_model.py:292-310) ------------------
+    @staticmethod
+    def _to_255(x):
+        """Batch -> [0,255] float array (uint8 fast-path batches are
+        already 0..255; float batches are [-1,1])."""
+        x = np.asarray(x)
+        if x.dtype == np.uint8:
+            return x.astype(np.float32)
+        return (x + 1.0) / 2.0 * 255.0
+
+    def get_img_tir(self, input):
+        """Place + return the TIR (A) batch scaled to [0,255]
+        (reference pix2pix_model.py:292-294 — reads 'A' regardless of
+        direction, and primes real_A for get_img_gen)."""
+        self.real_A = self._place_batch(input["A"])
+        return self._to_255(self.real_A)
+
+    def get_img_gen(self, input):
+        """Run G on the previously-placed real_A; return fake in [0,255]
+        (reference pix2pix_model.py:296-300)."""
+        AtoB = self.opt.which_direction == "AtoB"
+        self.real_B = self._place_batch(input["B" if AtoB else "A"])
+        self.forward()
+        return self._to_255(np.asarray(self.fake_B, np.float32))
+
+    def get_img_label(self, input):
+        """Place + return the target (B) batch in [0,255]
+        (reference pix2pix_model.py:302-305)."""
+        AtoB = self.opt.which_direction == "AtoB"
+        self.real_B = self._place_batch(input["B" if AtoB else "A"])
+        return self._to_255(self.real_B)
+
+    def get_img_nir(self, input):
+        """Place + return the source batch in [0,255]
+        (reference pix2pix_model.py:307-310)."""
+        AtoB = self.opt.which_direction == "AtoB"
+        self.real_A = self._place_batch(input["A" if AtoB else "B"])
+        return self._to_255(self.real_A)
+
     # -- metrics (device-computed; one sync per call) -----------------------
     def cal_ssim(self, input=None):
         return float(np.asarray(self._metrics["ssim"]))

@@ -201,3 +201,36 @@ def test_unconditional_d_recipe_trains(tmp_path):
     m.set_input(b)
     m.optimize_parameters()
     assert all(np.isfinite(v) for v in m.get_current_losses().values())
+
+
+def test_get_img_helpers_and_eval(tmp_path):
+    """get_img_tir/get_img_gen/get_img_label/get_img_nir return [0,255]
+    arrays (reference pix2pix_model.py:292-310); BaseModel.eval is API
+    parity (reference base_model.py:48-52)."""
+    m = make_model(tmp_path)
+    b = batch(np.random.default_rng(7))
+
+    tir = m.get_img_tir(b)
+    np.testing.assert_allclose(
+        np.asarray(tir), (b["A"] + 1) / 2 * 255, rtol=0, atol=1e-4)
+
+    gen = m.get_img_gen(b)
+    assert gen.shape == b["B"].shape
+    assert np.all(np.asarray(gen) >= -1e-3) and np.all(np.asarray(gen) <= 255.001)
+
+    lab = m.get_img_label(b)
+    np.testing.assert_allclose(
+        np.asarray(lab), (b["B"] + 1) / 2 * 255, rtol=0, atol=1e-4)
+
+    nir = m.get_img_nir(b)
+    np.testing.assert_allclose(
+        np.asarray(nir), (b["A"] + 1) / 2 * 255, rtol=0, atol=1e-4)
+
+    # uint8 fast-path batches pass through as already-[0,255] values
+    bu8 = {"A": np.random.default_rng(8).integers(0, 255, (2, 32, 32, 3),
+                                                 dtype=np.uint8)}
+    tir8 = m.get_img_tir(bu8)
+    np.testing.assert_array_equal(np.asarray(tir8), bu8["A"].astype(np.float32))
+
+    m.eval()
+    assert m.is_eval

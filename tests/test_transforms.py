@@ -173,3 +173,34 @@ def test_uint8_pipeline_bit_identical_to_f32(tmp_path):
         jnp.asarray(item["A"]).astype(jnp.float32) / 255.0 * 2.0 - 1.0
     )
     np.testing.assert_array_equal(dev, A.astype(np.float32))
+
+
+def test_image_folder_dataset(tmp_path):
+    """ImageFolder: working flat-directory dataset (the reference class,
+    image_folder.py:41-66, is dead code that crashes on the half-split
+    tuple; ours honors the documented contract)."""
+    from dsgan_tpu.data.image_folder import ImageFolder
+
+    rng = np.random.default_rng(0)
+    d = tmp_path / "imgs"
+    d.mkdir()
+    for i in range(4):
+        arr = rng.integers(0, 255, (8, 8, 3)).astype(np.uint8)
+        Image.fromarray(arr).save(d / f"im_{i}.png")
+    (d / "notes.txt").write_text("skip me")
+
+    ds = ImageFolder(str(d))
+    assert len(ds) == 4
+    assert np.asarray(ds[0]).shape == (8, 8, 3)
+
+    ds_p = ImageFolder(str(d), transform=lambda im: np.asarray(im) / 255.0,
+                       return_paths=True)
+    img, path = ds_p[1]
+    assert path.endswith("im_1.png")
+    assert img.max() <= 1.0
+
+    import pytest as _pytest
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    with _pytest.raises(RuntimeError):
+        ImageFolder(str(empty))
