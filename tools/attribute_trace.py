@@ -157,7 +157,12 @@ def main():
                 for o in ops:
                     s = scope_of(o, DEPTH)
                     counts[s] += 1
-                    if "conv" in o or "dot" in o.split("/")[-1]:
+                    leaf = o.split("/")[-1]
+                    # NB "conv" alone would also match convert_element_type,
+                    # misattributing elementwise fusions to a convert scope
+                    if ("conv_general" in o or "conv_transpose" in o
+                            or "dwconv" in o or "dot" in leaf
+                            or "pallas" in leaf):
                         heavy[s] += 1
                 pool = heavy if heavy else counts
                 best = max(pool.items(), key=lambda x: x[1])[0]
@@ -165,7 +170,7 @@ def main():
                 if best in ("fwd mul", "bwd mul", "fwd select_n", "bwd select_n"):
                     samples[best][ev.name.split(" = ")[0]] += dur
     print(f"total sync device ms/step: {total/n:.2f}   unattributed: {unattr/n:.2f}")
-    for k, v in sorted(agg.items(), key=lambda x: -x[1])[:45]:
+    for k, v in sorted(agg.items(), key=lambda x: -x[1])[:int(os.environ.get("AT_TOP","45"))]:
         print(f"{v/n:9.3f} ms  {k}")
     for k, d in samples.items():
         print(f"\n-- events in '{k}' --")
