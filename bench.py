@@ -71,6 +71,23 @@ def main():
 
     step = jax.jit(make_train_step(g, d, vgg, vgg_params, cfg), donate_argnums=(0,))
 
+    # Optional XLA compiler-option overrides, e.g.
+    #   BENCH_XLA_OPTS="xla_tpu_rwb_fusion=false,xla_tpu_msa_use_minimalloc=true"
+    # Passed per-compile (compiler_options) because the local jaxlib's
+    # XLA_FLAGS parser fatally rejects tpu-only flags; compiler_options
+    # serialize into the compile request and are validated by the real
+    # TPU compiler (relay-safe).
+    xla_opts = os.environ.get("BENCH_XLA_OPTS", "")
+    if xla_opts:
+        opts = dict(kv.split("=", 1) for kv in xla_opts.split(",") if kv)
+        compiled = [None]
+        inner = step
+
+        def step(*args):
+            if compiled[0] is None:
+                compiled[0] = inner.lower(*args).compile(compiler_options=opts)
+            return compiled[0](*args)
+
     rng = np.random.default_rng(0)
     real_A = jnp.asarray(rng.uniform(-1, 1, (batch, size, size, 3)).astype(np.float32))
     real_B = jnp.asarray(rng.uniform(-1, 1, (batch, size, size, 3)).astype(np.float32))

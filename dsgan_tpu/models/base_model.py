@@ -17,6 +17,22 @@ from dsgan_tpu.utils import checkpoint as ckpt
 from dsgan_tpu.utils.util import tensor2im
 
 
+class AnomalyDetected(RuntimeError):
+    """A training metric went NaN/Inf (--detect_anomaly).
+
+    Carries the names of the offending metrics and the path of the
+    forensic dump written before raising.
+    """
+
+    def __init__(self, bad_metrics, dump_dir):
+        self.bad_metrics = list(bad_metrics)
+        self.dump_dir = dump_dir
+        super().__init__(
+            "non-finite training metrics %s — forensic state dumped to %s"
+            % (self.bad_metrics, dump_dir)
+        )
+
+
 class BaseModel:
     @staticmethod
     def modify_commandline_options(parser, is_train=True):
@@ -196,6 +212,38 @@ class BaseModel:
     def get_current_metrics(self):
         return {k: float(np.asarray(v)) for k, v in self._metrics.items()
                 if np.asarray(v).ndim == 0}
+
+    def check_anomaly(self, context=""):
+        """Failure detection (SURVEY §5: the reference has NONE — a NaN'd
+        run trains to completion and saves garbage checkpoints).
+
+        Scans the step's metric scalars for NaN/Inf. Called at print
+        frequency, right where metrics are fetched anyway, so it adds no
+        device sync; detection latency is bounded by --print_freq steps.
+        On detection: write a forensic bundle — the full train state as a
+        synchronous checkpoint (label 'anomaly', restorable with
+        --which_epoch anomaly for offline inspection) plus the last input
+        batch as .npy — then raise AnomalyDetected.
+        """
+        vals = self.get_current_metrics()
+        bad = sorted(k for k, v in vals.items() if not np.isfinite(v))
+        if not bad:
+            return
+        dump_dir = os.path.join(self.save_dir, "anomaly")
+        os.makedirs(dump_dir, exist_ok=True)
+        try:
+            ckpt.save_state(self.save_dir, "anomaly", self._checkpoint_pytree(),
+                            async_save=False)
+        except NotImplementedError:
+            pass
+        for name in ("real_A", "real_B"):
+            arr = getattr(self, name, None)
+            if arr is not None:
+                np.save(os.path.join(dump_dir, f"{name}.npy"), np.asarray(arr))
+        with open(os.path.join(dump_dir, "report.txt"), "w") as f:
+            f.write("context: %s\nnon-finite metrics: %s\nall metrics: %s\n"
+                    % (context, bad, vals))
+        raise AnomalyDetected(bad, dump_dir)
 
     def get_current_visuals(self):
         out = OrderedDict()

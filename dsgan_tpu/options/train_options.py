@@ -58,5 +58,9 @@ class TrainOptions(BaseOptions):
                             help="write a jax.profiler trace (TensorBoard format) here")
         parser.add_argument("--profile_steps", type=str, default="10:13",
                             help="start:stop step range captured by the profiler")
+        parser.add_argument("--detect_anomaly", type=int, default=1,
+                            help="1: check fetched metrics for NaN/Inf at print "
+                                 "frequency (zero extra device syncs); on hit, dump "
+                                 "a forensic state bundle and abort. 0: off")
         self.isTrain = True
         return parser

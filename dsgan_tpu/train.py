@@ -106,6 +106,8 @@ def main(argv=None, dataset_path=None, out_path=None):
                 ssim_avg = float(np.mean([np.asarray(s) for s in ssim_hist])) if ssim_hist else 0.0
                 psnr_avg = float(np.mean([np.asarray(p) for p in psnr_hist])) if psnr_hist else 0.0
                 losses = model.get_current_losses()
+                if getattr(opt, "detect_anomaly", 0):
+                    model.check_anomaly(f"epoch {epoch} iter {i + 1}")
                 t = (time.time() - iter_start_time) / opt.batchSize
                 visualizer.print_current_losses(
                     epoch, epoch_iter, losses, t, t_data, ssim_avg, psnr_avg
@@ -135,6 +137,9 @@ def main(argv=None, dataset_path=None, out_path=None):
             csv.writer(f).writerow([epoch, "train", ssim_avg, psnr_avg])
 
         print("saving the model at the end of epoch %d" % epoch)
+        if getattr(opt, "detect_anomaly", 0):
+            # don't persist a poisoned state as a regular epoch checkpoint
+            model.check_anomaly(f"epoch {epoch} end")
         model.save_networks(epoch)
         print(
             "End of epoch %d / %d \t Time Taken: %d sec"
@@ -150,4 +155,10 @@ def main(argv=None, dataset_path=None, out_path=None):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1:])
+    from dsgan_tpu.models.base_model import AnomalyDetected
+
+    try:
+        main(sys.argv[1:])
+    except AnomalyDetected as e:
+        print(f"FATAL: {e}", file=sys.stderr)
+        sys.exit(3)
