@@ -58,6 +58,10 @@ class TrainOptions(BaseOptions):
                             help="write a jax.profiler trace (TensorBoard format) here")
         parser.add_argument("--profile_steps", type=str, default="10:13",
                             help="start:stop step range captured by the profiler")
+        parser.add_argument("--debug_nans", action="store_true",
+                            help="debug mode: re-run any NaN-producing program "
+                                 "op-by-op to name the first NaN op (jax_debug_nans; "
+                                 "slow — use to localize what --detect_anomaly caught)")
         parser.add_argument("--detect_anomaly", type=int, default=1,
                             help="1: check fetched metrics for NaN/Inf at print "
                                  "frequency (zero extra device syncs); on hit, dump "

@@ -29,6 +29,10 @@ from dsgan_tpu.utils.visualizer import Visualizer
 
 def main(argv=None, dataset_path=None, out_path=None):
     opt = TrainOptions().parse(dataset_path, out_path, argv)
+    if getattr(opt, "debug_nans", False):
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
     output_freq = opt.print_freq
 
     result_path = out_path or os.path.join(opt.checkpoints_dir, opt.name)

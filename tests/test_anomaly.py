@@ -55,6 +55,21 @@ def test_nan_lr_aborts_with_forensic_dump(tiny_dataset, tmp_path):
     assert not os.path.isdir(os.path.join(ckpt_dir, "epoch_1"))
 
 
+def test_debug_nans_names_the_op(tiny_dataset, tmp_path):
+    """--debug_nans (jax_debug_nans) raises at the first NaN-producing op,
+    for localizing what --detect_anomaly caught in production."""
+    import jax
+
+    from dsgan_tpu.train import main
+
+    try:
+        with pytest.raises(FloatingPointError):
+            main(ARGS + ["--lr", "nan", "--debug_nans", "--name", "dbg"],
+                 dataset_path=tiny_dataset, out_path=str(tmp_path / "o"))
+    finally:
+        jax.config.update("jax_debug_nans", False)
+
+
 def test_clean_run_unaffected(tiny_dataset, tmp_path):
     from dsgan_tpu.train import main
 
