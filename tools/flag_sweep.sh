@@ -32,4 +32,7 @@ run_cfg dot_dot_dup xla_tpu_dot_dot_fusion_duplicated=true
 run_cfg licm8 xla_tpu_licm_size_inflation_ratio=8
 run_cfg lhs xla_tpu_enable_latency_hiding_scheduler=true
 run_cfg scavenge xla_tpu_scavenge_vmem_for_fusions=true
+run_cfg autotune_fusions xla_tpu_autotune_fusions=true
+run_cfg nested_dot xla_tpu_nested_dot_fusion=true
+run_cfg pre_fusion_remat xla_tpu_pre_fusion_remat=true
 echo DONE | tee -a "$LOG"
