@@ -7,14 +7,19 @@ way: frames are batched (the "video axis" is just the batch axis for a
 per-frame colorizer, SURVEY §5), the generator runs its forward-only
 build, and metrics are computed on device.
 
-Temporal consistency is reported flow-free as the warp-free ratio
+Temporal consistency is reported two ways:
+  * flow-free ratio  TC = mean_t |y_t - y_{t-1}|_1 / mean_t |x_t - x_{t-1}|_1
+    (how much inter-frame change the colorizer ADDS relative to the change
+    already present in the thermal input; 1.0 = input-driven, larger =
+    flicker) — catches gross flicker only;
+  * motion-compensated (I2VGAN-style): pyramidal Lucas-Kanade flow is
+    estimated on the INPUT pair, the previous OUTPUT is warped along it,
+    and the photometrically-weighted |warp(y_{t-1}) - y_t| is reported
+    next to the same functional on the inputs (the floor set by flow
+    quality). See dsgan_tpu/ops/flow.py. Disable with --no_flow_metric.
 
-    TC = mean_t |y_t - y_{t-1}|_1 / mean_t |x_t - x_{t-1}|_1
-
-(how much inter-frame change the colorizer ADDS relative to the change
-already present in the thermal input; 1.0 = perfectly input-driven,
-larger = flicker). Per-frame SSIM/PSNR vs ground truth are included when
-a paired GT directory is given.
+Per-frame SSIM/PSNR vs ground truth are included when a paired GT
+directory is given.
 
 Usage:
     python -m dsgan_tpu.video --dataroot <frames_dir> --name exp \
@@ -38,6 +43,9 @@ class VideoOptions(TestOptions):
         parser.add_argument("--gt_dir", type=str, default="",
                             help="optional directory of paired ground-truth "
                                  "RGB frames (same sorted order) for SSIM/PSNR")
+        parser.add_argument("--no_flow_metric", action="store_true",
+                            help="skip the motion-compensated (optical-flow "
+                                 "warped) temporal-consistency metric")
         return parser
 
 
@@ -139,15 +147,38 @@ def main(argv=None):
     dx = np.mean(np.abs(x_all[1:] - x_all[:-1]))
     tc = float(dy / max(dx, 1e-8))
 
+    # motion-compensated consistency: LK flow on the input pair, previous
+    # output warped along it, photometrically-weighted error (ops/flow.py)
+    warp_out = warp_in = None
+    if not getattr(opt, "no_flow_metric", False):
+        from dsgan_tpu.ops import flow as flow_ops
+
+        @jax.jit
+        def _pair(xp, xc, yp, yc):
+            fl = flow_ops.estimate_flow(xp, xc)
+            return flow_ops.flow_warped_error(yp, yc, xp, xc, fl)
+
+        warp_out, warp_in = [], []
+        for t in range(1, len(paths)):
+            eo, ei = _pair(x_all[t - 1], x_all[t], y[t - 1], y[t])
+            warp_out.append(float(np.asarray(eo)))
+            warp_in.append(float(np.asarray(ei)))
+
     results_dir = os.path.join(opt.results_dir, opt.name, "video")
     os.makedirs(results_dir, exist_ok=True)
-    rows = [["frame", "d_prev_out", "d_prev_in"]]
+    hdr = ["frame", "d_prev_out", "d_prev_in"]
+    if warp_out is not None:
+        hdr += ["warp_err_out", "warp_err_in"]
+    rows = [hdr]
     for t in range(1, len(paths)):
-        rows.append([
+        row = [
             os.path.basename(paths[t]),
             float(np.mean(np.abs(y[t] - y[t - 1]))),
             float(np.mean(np.abs(x_all[t] - x_all[t - 1]))),
-        ])
+        ]
+        if warp_out is not None:
+            row += [warp_out[t - 1], warp_in[t - 1]]
+        rows.append(row)
 
     ssim_mean = psnr_mean = None
     if opt.gt_dir:
@@ -169,11 +200,17 @@ def main(argv=None):
         wtr.writerows(rows)
         wtr.writerow([])
         wtr.writerow(["temporal_consistency_ratio", tc])
+        if warp_out is not None:
+            wtr.writerow(["flow_warped_err_out", float(np.mean(warp_out))])
+            wtr.writerow(["flow_warped_err_in", float(np.mean(warp_in))])
         if ssim_mean is not None:
             wtr.writerow(["mean_ssim", ssim_mean])
             wtr.writerow(["mean_psnr", psnr_mean])
 
     msg = f"frames: {len(paths)}  temporal-consistency ratio: {tc:.4f}"
+    if warp_out is not None:
+        msg += (f"  flow-warped err out/in: "
+                f"{float(np.mean(warp_out)):.4f}/{float(np.mean(warp_in)):.4f}")
     if ssim_mean is not None:
         msg += f"  mean SSIM: {ssim_mean:.4f}  mean PSNR: {psnr_mean:.3f}"
     print(msg)

@@ -48,6 +48,7 @@ def test_video_eval_end_to_end(tmp_path):
     assert out_csv.exists()
     text = out_csv.read_text()
     assert "temporal_consistency_ratio" in text and "mean_ssim" in text
+    assert "flow_warped_err_out" in text
 
 
 @pytest.mark.slow
@@ -85,6 +86,7 @@ def test_video_sharded_matches_single_device(tmp_path):
         "--ngf", "8", "--dtype", "float32", "--batchSize", "8",
         "--fineSize_w", str(w), "--fineSize_h", str(h),
         "--loadSize_w", str(w), "--loadSize_h", str(h),
+        "--no_flow_metric",
     ]
     tc_single = video.main(common + [
         "--results_dir", str(tmp_path / "r1"),
@@ -102,5 +104,5 @@ def test_video_sharded_matches_single_device(tmp_path):
     rows2 = (tmp_path / "r2" / "vshard" / "video" / "temporal.csv").read_text()
     for l1, l2 in zip(rows1.splitlines(), rows2.splitlines()):
         p1, p2 = l1.split(","), l2.split(",")
-        if len(p1) == 3 and p1[0] != "frame":
+        if len(p1) >= 3 and p1[0] != "frame":
             np.testing.assert_allclose(float(p1[1]), float(p2[1]), rtol=1e-3, atol=1e-5)
