@@ -144,18 +144,26 @@ class ConvNeXtBlock(nn.Module):
 
         if dim <= 8:
             assert x2 is None, "split inputs are a decoder path (dim >= 128)"
-            # Small-channel depthwise conv (c1: dim=3) as a DENSE conv with
-            # a diagonal-masked kernel: XLA's feature-grouped lowering is
-            # catastrophic at tiny C (26.2 ms fwd+bwd vs 3.0 ms for the
-            # identical math dense-masked, 16x256^2x3 on v5e). Params stay
-            # in the grouped layout (checkpoint-identical).
+            # Small-channel depthwise conv (c1: dim=3): XLA's feature-
+            # grouped lowering is catastrophic at tiny C (26.2 ms fwd+bwd
+            # at 16x256^2x3 on v5e). Preferred path: space-to-depth dense
+            # conv (ops.dw_conv_s2d, f=4 -> 48 packed channels) — the
+            # earlier diagonal-masked dense conv at the ORIGINAL width was
+            # 3.0 ms but still ran N=3 output lanes. Params stay in the
+            # grouped layout (checkpoint-identical).
             kdw, bdw = _DWParams(7, dim, name="dwconv")()
-            eye = jnp.eye(dim, dtype=kdw.dtype)[None, None]
-            wd = eye * kdw[:, :, 0, :][:, :, None, :]
-            wd, bd = jax.lax.optimization_barrier(
-                (wd.astype(dtype), bdw.astype(dtype))
-            )
-            h = ops.conv2d(x.astype(dtype), wd, bd, stride=1, padding=3)
+            if x.shape[1] % 4 == 0 and x.shape[2] % 4 == 0:
+                h = ops.dw_conv_s2d(
+                    x.astype(dtype), kdw[:, :, 0, :].astype(dtype),
+                    bdw.astype(dtype), 7, 4,
+                )
+            else:
+                eye = jnp.eye(dim, dtype=kdw.dtype)[None, None]
+                wd = eye * kdw[:, :, 0, :][:, :, None, :]
+                wd, bd = jax.lax.optimization_barrier(
+                    (wd.astype(dtype), bdw.astype(dtype))
+                )
+                h = ops.conv2d(x.astype(dtype), wd, bd, stride=1, padding=3)
         elif split:
             # per-part depthwise convs with the concat-layout params sliced:
             # dw(concat(a,b)) == concat(dw_a(a), dw_b(b))
@@ -279,16 +287,21 @@ class MidMLKA(nn.Module):
                 biases.append(bias)
             wk = jnp.concatenate(kerns, axis=-1).astype(x.dtype)   # (9,9,1,dim)
             bk = jnp.concatenate(biases).astype(x.dtype)
-            # Materialize the assembled kernel before the conv: without this
-            # barrier XLA fuses the pad+concat INTO the convolution and its
-            # lowering falls off the fast depthwise path (measured 6.5 ms vs
-            # 1.14 ms for the identical conv at 128ch/128^2/b16 on v5e).
             import jax as _jax
-
-            wk, bk = _jax.lax.optimization_barrier((wk, bk))
             from dsgan_tpu import ops as _ops
 
-            out = _ops.conv2d(x, wk, bk, stride=1, padding=kmax // 2, groups=dim)
+            if dim <= 32 and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+                # space-to-depth dense-conv path (ops.dw_conv_s2d): the
+                # mid32 bank at 32ch/128^2 runs 4.56 -> 3.05 ms f+b (v5e
+                # b16); params stay banked (checkpoint-identical)
+                out = _ops.dw_conv_s2d(x, wk[:, :, 0, :], bk, 9, 2)
+            else:
+                # Materialize the assembled kernel before the conv: without
+                # this barrier XLA fuses the pad+concat INTO the convolution
+                # and its lowering falls off the fast depthwise path
+                # (measured 6.5 ms vs 1.14 ms at 128ch/128^2/b16 on v5e).
+                wk, bk = _jax.lax.optimization_barrier((wk, bk))
+                out = _ops.conv2d(x, wk, bk, stride=1, padding=kmax // 2, groups=dim)
         else:
             xs = jnp.split(x, 4, axis=-1)
             outs = []

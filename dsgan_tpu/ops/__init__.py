@@ -10,6 +10,7 @@ from dsgan_tpu.ops.conv import (
     conv2d,
     conv_transpose2d,
     max_pool2d,
+    dw_conv_s2d,
     avg_pool2d,
     reflect_pad2d,
     adaptive_avg_pool,
@@ -36,6 +37,7 @@ __all__ = [
     "conv2d",
     "conv_transpose2d",
     "max_pool2d",
+    "dw_conv_s2d",
     "avg_pool2d",
     "reflect_pad2d",
     "adaptive_avg_pool",

@@ -125,6 +125,56 @@ def max_pool2d(x, window=2, stride=None, padding=0):
     )
 
 
+def dw_conv_s2d(x, kflat, b, k, f):
+    """Depthwise k x k 'same' conv at NARROW channel counts, computed as a
+    space-to-depth DENSE conv — exactly the same sums, MXU-friendly.
+
+    Narrow-channel depthwise convs are the worst case for the TPU: the
+    grouped lowering is VPU-tap-bound AND lane-starved (C=32 runs at
+    ~1.1 TF/s effective vs ~4 TF/s at C=128; C=3 is 40x worse still), and
+    a diagonal-masked dense conv at the SAME width doesn't help because
+    the MXU output side is equally lane-starved (measured neutral at 32,
+    tools/dwbwd_probe.py / tools/midmlka_probe.py). Packing f x f pixels
+    into channels gives a dense conv at f^2*C channels and full (or much
+    fuller) lanes:
+
+        source row = y0 - k//2 + u,  y0 = f*I + p, source = f*(I+di) + q
+        =>  u = k//2 + f*di + q - p,   di in [-t, t], t = (k//2 + f-1)//f
+
+    so the packed kernel wd[di,dj,(qy,qx,ci),(py,px,co)] =
+    kflat[u,v,co] * delta(ci,co), gathered from a zero-padded copy of
+    kflat (out-of-range taps land on the padding). The extra terms are
+    multiplications by zero — identical math; MXU accumulates in f32.
+
+    x: (B,H,W,C), H,W divisible by f; kflat: (k,k,C); b: (C,) or None.
+    Production uses: the MixConvNeXtML c1 block dwconv (C=3, k=7, f=4)
+    and the MidMLKA mid32 bank (C=32, k=9, f=2).
+    """
+    bsz, h, w, c = x.shape
+    t = (k // 2 + f - 1) // f
+    pad = f * t + (f - 1) - k // 2
+    kp = 2 * t + 1
+    kpad = jnp.pad(kflat, ((pad, pad), (pad, pad), (0, 0)))
+    di = jnp.arange(kp)[:, None, None]
+    ph = jnp.arange(f)[None, :, None]   # output phase p
+    qh = jnp.arange(f)[None, None, :]   # input phase q
+    u = pad + k // 2 + f * (di - t) + qh - ph          # in [0, k-1+2*pad]
+    # w6[di,dj,py,px,qy,qx,c] = kpad[u(di,py,qy), v(dj,px,qx), c]
+    w6 = kpad[u[:, None, :, None, :, None], u[None, :, None, :, None, :], :]
+    w6 = jnp.transpose(w6, (0, 1, 4, 5, 2, 3, 6))      # (di,dj,qy,qx,py,px,c)
+    eye = jnp.eye(c, dtype=w6.dtype)
+    wd = eye[None, None, None, None, :, None, None, :] * w6[:, :, :, :, None, :, :, :]
+    wd = wd.reshape(kp, kp, f * f * c, f * f * c)
+    bd = None if b is None else jnp.tile(b, f * f)
+    wd, bd = jax.lax.optimization_barrier((wd, bd))
+
+    xp = x.reshape(bsz, h // f, f, w // f, f, c)
+    xp = jnp.transpose(xp, (0, 1, 3, 2, 4, 5)).reshape(bsz, h // f, w // f, f * f * c)
+    yp = conv2d(xp, wd, bd, stride=1, padding=t)
+    y = yp.reshape(bsz, h // f, w // f, f, f, c)
+    return jnp.transpose(y, (0, 1, 3, 2, 4, 5)).reshape(bsz, h, w, c)
+
+
 def avg_pool2d(x, window, stride=None, padding=0, count_include_pad=True):
     """torch-style AvgPool2d on NHWC (both count_include_pad modes)."""
     if stride is None:

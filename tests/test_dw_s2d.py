@@ -1,0 +1,51 @@
+"""ops.dw_conv_s2d: space-to-depth dense lowering of narrow-channel
+depthwise convs — exact forward and gradient parity vs the grouped conv
+at the production (k, f, C) configurations and odd rectangle shapes."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dsgan_tpu import ops
+
+CASES = [
+    # (h, w, c, k, f) — includes the two production shapes:
+    (16, 16, 32, 9, 2),   # MidMLKA mid32 bank
+    (32, 32, 3, 7, 4),    # MixConvNeXtML c1 block dwconv
+    (16, 24, 8, 7, 4),
+    (12, 20, 8, 9, 2),
+    (16, 16, 4, 9, 4),
+]
+
+
+@pytest.mark.parametrize("h,w,c,k,f", CASES)
+def test_dw_conv_s2d_matches_grouped(h, w, c, k, f):
+    rng = np.random.default_rng(h * 100 + c + k + f)
+    x = jnp.asarray(rng.standard_normal((2, h, w, c)), jnp.float32)
+    kk = jnp.asarray(rng.standard_normal((k, k, 1, c)) * 0.2, jnp.float32)
+    b = jnp.asarray(rng.standard_normal((c,)), jnp.float32)
+    ref = ops.conv2d(x, kk, b, stride=1, padding=k // 2, groups=c)
+    got = ops.dw_conv_s2d(x, kk[:, :, 0, :], b, k, f)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+def test_dw_conv_s2d_gradients_match_grouped():
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 3)), jnp.float32)
+    kk = jnp.asarray(rng.standard_normal((7, 7, 1, 3)) * 0.2, jnp.float32)
+    b = jnp.asarray(rng.standard_normal((3,)), jnp.float32)
+
+    def loss_ref(xi, ki, bi):
+        return jnp.sum(jnp.tanh(ops.conv2d(xi, ki, bi, stride=1, padding=3, groups=3)))
+
+    def loss_s2d(xi, ki, bi):
+        return jnp.sum(jnp.tanh(ops.dw_conv_s2d(xi, ki[:, :, 0, :], bi, 7, 4)))
+
+    g1 = jax.grad(loss_ref, argnums=(0, 1, 2))(x, kk, b)
+    g2 = jax.grad(loss_s2d, argnums=(0, 1, 2))(x, kk, b)
+    for a, g in zip(g1, g2):
+        np.testing.assert_allclose(
+            np.asarray(g).reshape(np.asarray(a).shape), np.asarray(a),
+            rtol=1e-4, atol=1e-4,
+        )

@@ -60,7 +60,7 @@ def main():
         shapes = shapes[:4]
     elif group == "b":
         shapes = shapes[4:]
-    elif group == "c":
+    elif group in ("c", "d"):
         shapes = []
     for name, c, hw in shapes:
         x = jnp.asarray(np.random.randn(B, hw, hw, c), DT)
@@ -70,7 +70,7 @@ def main():
 
     # dw bank conv alone (the fused 9x9 grouped conv), fwd and fwd+bwd
     dw_shapes = [("mid32", 32, 128), ("upc2", 128, 64), ("upc3", 128, 128)]
-    if group == "a":
+    if group in ("a", "d"):
         dw_shapes = []
     elif group == "b":
         dw_shapes = dw_shapes[:1]
@@ -146,14 +146,15 @@ def main():
                     out = out * scale - shift
                 return gelu(out + x)
 
-        for name, c, hw in [("mid32", 32, 128), ("upc3", 128, 128)]:
+        abl_shapes = {"mid32": [("mid32", 32, 128)], "upc3": [("upc3", 128, 128)]}
+        which = os.environ.get("MP_ABL", "mid32")
+        for name, c, hw in abl_shapes[which]:
             x = jnp.asarray(np.random.randn(B, hw, hw, c), DT)
             for tag, kw in [
                 ("full", {}),
                 ("nogate", dict(use_gate=False)),
                 ("nogate-noin", dict(use_gate=False, use_in=False)),
                 ("bank-only", dict(use_conv1=False, use_gate=False, use_in=False)),
-                ("noin", dict(use_in=False)),
             ]:
                 mod = MidAblate(**kw)
                 run, params = fwd_bwd(mod, x)
