@@ -88,6 +88,30 @@ def Conv(
     )
 
 
+class LaneFixConv(nn.Module):
+    """'same' stride-1 Conv2d whose dx is computed in space-to-depth
+    packed form (ops.conv2d_lanefix) — for layers with a lane-starved
+    channel side (the flagship's 64->3 res conv). Parameter tree
+    ({kernel, bias}) is identical to the nn.Conv it replaces —
+    checkpoint-compatible."""
+
+    features: int
+    kernel: int = 3
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        from dsgan_tpu import ops
+
+        k = self.param(
+            "kernel", normal02,
+            (self.kernel, self.kernel, x.shape[-1], self.features), jnp.float32,
+        )
+        b = self.param("bias", zeros, (self.features,), jnp.float32)
+        dt = self.dtype or x.dtype
+        return ops.conv2d_lanefix(x.astype(dt), k.astype(dt), b.astype(dt))
+
+
 def Dense(features: int, dtype: Any = None, name: Optional[str] = None) -> nn.Dense:
     """torch-style Linear over the channel (last) dim."""
     return nn.Dense(

@@ -24,7 +24,9 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from dsgan_tpu import ops
-from dsgan_tpu.models.layers import Conv, ConvTranspose, Dense, PReLU, gelu
+from dsgan_tpu.models.layers import (
+    Conv, ConvTranspose, Dense, LaneFixConv, PReLU, gelu,
+)
 
 
 class ChannelAttention(nn.Module):
@@ -430,5 +432,7 @@ class MixConvNeXtML(nn.Module):
 
         # -- local stream + fusion
         loc = OriginMLKA(dtype=dt, name="local")(x)
-        out = Conv(3, 3, padding=1, dtype=dt, name="res")(o4 + loc)
+        # LaneFixConv: 64->3 output conv, dx computed s2d-packed (the
+        # 3-channel cotangent otherwise runs the dx conv at ~2% MXU lanes)
+        out = LaneFixConv(3, 3, dtype=dt, name="res")(o4 + loc)
         return out.astype(in_dtype)

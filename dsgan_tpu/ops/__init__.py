@@ -11,6 +11,8 @@ from dsgan_tpu.ops.conv import (
     conv_transpose2d,
     max_pool2d,
     dw_conv_s2d,
+    conv2d_s2d,
+    conv2d_lanefix,
     avg_pool2d,
     reflect_pad2d,
     adaptive_avg_pool,
@@ -38,6 +40,8 @@ __all__ = [
     "conv_transpose2d",
     "max_pool2d",
     "dw_conv_s2d",
+    "conv2d_s2d",
+    "conv2d_lanefix",
     "avg_pool2d",
     "reflect_pad2d",
     "adaptive_avg_pool",

@@ -175,6 +175,93 @@ def dw_conv_s2d(x, kflat, b, k, f):
     return jnp.transpose(y, (0, 1, 3, 2, 4, 5)).reshape(bsz, h, w, c)
 
 
+def _s2d_pack_kernel(w, f):
+    """Pack a dense 'same' stride-1 odd-k HWIO kernel for f x f
+    space-to-depth operands: W[di,dj,(qy,qx,ci),(py,px,co)] = w[u,v,ci,co]
+    with u = k//2 + f*(di-t) + q - p (out-of-range taps -> zero padding).
+    Same index algebra as dw_conv_s2d, without the channel-diagonal mask."""
+    k, _, ci, co = w.shape
+    t = (k // 2 + f - 1) // f
+    pad = f * t + (f - 1) - k // 2
+    kp = 2 * t + 1
+    wpad = jnp.pad(w, ((pad, pad), (pad, pad), (0, 0), (0, 0)))
+    di = jnp.arange(kp)[:, None, None]
+    ph = jnp.arange(f)[None, :, None]
+    qh = jnp.arange(f)[None, None, :]
+    u = pad + k // 2 + f * (di - t) + qh - ph
+    # w6[di,dj,py,px,qy,qx,ci,co]
+    w6 = wpad[u[:, None, :, None, :, None], u[None, :, None, :, None, :], :, :]
+    # -> (di,dj, qy,qx,ci, py,px,co)
+    w6 = jnp.transpose(w6, (0, 1, 4, 5, 6, 2, 3, 7))
+    return w6.reshape(kp, kp, f * f * ci, f * f * co), t
+
+
+def _s2d(x, f):
+    b, h, w, c = x.shape
+    xp = x.reshape(b, h // f, f, w // f, f, c)
+    return jnp.transpose(xp, (0, 1, 3, 2, 4, 5)).reshape(b, h // f, w // f, f * f * c)
+
+
+def _d2s(y, f, c):
+    b, h, w, _ = y.shape
+    y = y.reshape(b, h, w, f, f, c)
+    return jnp.transpose(y, (0, 1, 3, 2, 4, 5)).reshape(b, h * f, w * f, c)
+
+
+def conv2d_s2d(x, w, b, f):
+    """Dense 'same' stride-1 odd-k conv computed on f x f space-to-depth
+    packed operands — identical sums (extra terms multiply zero padding),
+    but the contraction and output widths grow f^2 x, fixing MXU lane
+    starvation for tiny channel counts. See conv2d_lanefix for use."""
+    co = w.shape[-1]
+    wd, t = _s2d_pack_kernel(w, f)
+    bd = None if b is None else jnp.tile(b, f * f)
+    wd, bd = jax.lax.optimization_barrier((wd, bd))
+    yp = conv2d(_s2d(x, f), wd, bd, stride=1, padding=t)
+    return _d2s(yp, f, co)
+
+
+@jax.custom_vjp
+def _conv2d_lanefix(x, w, b):
+    return conv2d(x, w, b, stride=1, padding=w.shape[0] // 2)
+
+
+def _lanefix_fwd(x, w, b):
+    return _conv2d_lanefix(x, w, b), (x, w, b)
+
+
+def _lanefix_bwd(res, dy):
+    x, w, b = res
+    k = w.shape[0]
+    # dx of a 'same' conv = 'same' conv of dy with the spatially-flipped,
+    # io-transposed kernel — computed in s2d space: when either channel
+    # side is tiny (3-ch images), the plain lowering runs at ~2% MXU lane
+    # utilization (res dx 2.0 ms, VGG conv0 dx 1.8 ms in the 256^2 step);
+    # packed it is a full-lane conv (~0.2 ms), identical sums.
+    wT = jnp.transpose(jnp.flip(w, (0, 1)), (0, 1, 3, 2))
+    if dy.shape[1] % 2 == 0 and dy.shape[2] % 2 == 0:
+        dx = conv2d_s2d(dy, wT, None, 2)
+    else:
+        dx = conv2d(dy, wT, None, stride=1, padding=k // 2)
+    # dW/db keep the standard lowering (measured wash vs packed)
+    _, vjp = jax.vjp(
+        lambda wi, bi: conv2d(x, wi, bi, stride=1, padding=k // 2), w, b
+    )
+    dw, db = vjp(dy)
+    return dx.astype(x.dtype), dw, db
+
+
+_conv2d_lanefix.defvjp(_lanefix_fwd, _lanefix_bwd)
+
+
+def conv2d_lanefix(x, w, b):
+    """'same' stride-1 conv with an s2d-packed dx (see _lanefix_bwd).
+    Drop-in for conv2d(x, w, b, stride=1, padding=k//2) on layers whose
+    INPUT or OUTPUT channel count is lane-starved (<= ~8): the flagship's
+    final res conv (64->3) and the VGG conv0 (3->64)."""
+    return _conv2d_lanefix(x, w, b)
+
+
 def avg_pool2d(x, window, stride=None, padding=0, count_include_pad=True):
     """torch-style AvgPool2d on NHWC (both count_include_pad modes)."""
     if stride is None:
