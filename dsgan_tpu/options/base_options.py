@@ -5,7 +5,8 @@ Flag *names and defaults* deliberately match the reference
 recipe scripts run against this framework unchanged; the help text, parse
 flow, and everything behind the flags is this framework's own. TPU-native
 additions live in the last group (--dtype, --vgg_weights, --seed,
---native_loader, --remat, --gelu, --data_axis/--spatial_axis, --num_hosts).
+--native_loader, --remat, --gelu, --data_axis/--spatial_axis, --num_hosts,
+--platform).
 
 Deviations from the reference (defects fixed, documented):
   * numeric flags (use_GAN, w_*, use_condition) carry argparse types — the
@@ -117,6 +118,11 @@ class BaseOptions:
         parser.add_argument("--num_hosts", type=int, default=1,
                             help="multi-host pod-slice size; >1 calls jax.distributed.initialize "
                                  "using JAX_COORDINATOR_ADDRESS/JAX_PROCESS_ID (or TPU metadata)")
+        parser.add_argument("--platform", type=str, default="",
+                            help="force the JAX platform (cpu|tpu|...). Empty = JAX's own "
+                                 "selection. Applied via jax.config, which beats the "
+                                 "JAX_PLATFORMS env var even where a site hook pins a "
+                                 "remote-TPU backend — use --platform cpu to debug on host")
         self.initialized = True
         return parser
 
@@ -160,6 +166,13 @@ class BaseOptions:
     def parse(self, dataset_path=None, path=None, argv=None):
         opt = self.gather_options(argv)
         opt.isTrain = self.isTrain
+        if getattr(opt, "platform", ""):
+            # Must happen before anything initializes a backend: config
+            # beats JAX_PLATFORMS (a sitecustomize that registers a remote
+            # TPU plugin makes the env var alone ineffective).
+            import jax
+
+            jax.config.update("jax_platforms", opt.platform)
         from dsgan_tpu.models.layers import set_gelu_mode
 
         set_gelu_mode(getattr(opt, "gelu", "auto"))

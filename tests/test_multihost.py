@@ -78,3 +78,18 @@ def test_primary_helpers():
     assert multihost.process_index() == 0
     assert multihost.process_count() == 1
     assert multihost.is_primary()
+
+
+def test_platform_flag_sets_jax_config():
+    # conftest already pins cpu; the flag must round-trip through
+    # jax.config (the env var alone is ineffective under site hooks
+    # that register a remote TPU plugin).
+    from dsgan_tpu.options.train_options import TrainOptions
+
+    opt = TrainOptions().parse(argv=[
+        "--platform", "cpu", "--name", "pf",
+        "--checkpoints_dir", "/tmp/dsgan_pftest",
+    ])
+    assert opt.platform == "cpu"
+    assert jax.config.jax_platforms == "cpu"
+    assert jax.default_backend() == "cpu"
