@@ -25,5 +25,9 @@ class TestOptions(BaseOptions):
                                  "of a framework checkpoint")
         parser.add_argument("--how_many", type=int, default=1000,
                             help="number of images to run through the generator")
+        parser.add_argument("--inception_weights", type=str, default="",
+                            help="converted Inception .npz (pth_convert inception): "
+                                 "adds distribution-level FID/KID over the evaluated "
+                                 "set to metrics.csv ('random' = pipeline smoke only)")
         self.isTrain = False
         return parser

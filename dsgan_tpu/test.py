@@ -52,6 +52,8 @@ def main(argv=None, dataset_path=None, out_path=None):
     )
 
     rows = []
+    fake_ims, real_ims = [], []
+    want_fid = bool(getattr(opt, "inception_weights", ""))
     for i, data in enumerate(dataset):
         if i >= opt.how_many:
             break
@@ -75,10 +77,26 @@ def main(argv=None, dataset_path=None, out_path=None):
                     jnp.asarray(visuals["fake_B"][None].astype("float32")),
                     data_range=255,
                 ))
+        if want_fid and "real_B" in visuals:
+            fake_ims.append(visuals["fake_B"])
+            real_ims.append(visuals["real_B"])
         save_images(webpage, visuals, data["A_paths"], aspect_ratio=opt.aspect_ratio)
         rows.append(row)
 
     webpage.save()
+
+    fid_val = kid_val = kid_std = None
+    if want_fid and fake_ims:
+        from dsgan_tpu.models.inception import make_feature_fn
+        from dsgan_tpu.ops import fid as fid_ops
+
+        extract = make_feature_fn(opt.inception_weights,
+                                  batch=min(8, len(fake_ims)))
+        ff, fr = extract(fake_ims), extract(real_ims)
+        fid_val = fid_ops.fid_from_features(ff, fr)
+        if min(len(ff), len(fr)) >= 2:
+            kid_val, kid_std = fid_ops.kid_from_features(
+                ff, fr, subset_size=min(len(ff), len(fr), 100))
 
     summary_path = os.path.join(web_dir, "metrics.csv")
     with open(summary_path, "w", newline="") as f:
@@ -95,6 +113,10 @@ def main(argv=None, dataset_path=None, out_path=None):
                  np.mean([r["psnr"] for r in rows if "psnr" in r]),
                  np.mean(ms_vals) if ms_vals else ""]
             )
+        if fid_val is not None:
+            writer.writerow(["fid", "", fid_val, "", ""])
+            if kid_val is not None:
+                writer.writerow(["kid", "", kid_val, kid_std, ""])
     print(f"wrote {len(rows)} results to {web_dir}")
     if rows and "ssim" in rows[0]:
         line = "mean SSIM: %.4f  mean PSNR: %.3f" % (
@@ -104,6 +126,10 @@ def main(argv=None, dataset_path=None, out_path=None):
         ms_vals = [r["ms_ssim"] for r in rows if "ms_ssim" in r]
         if ms_vals:
             line += "  mean MS-SSIM: %.4f" % float(np.mean(ms_vals))
+        if fid_val is not None:
+            line += "  FID: %.3f" % fid_val
+            if kid_val is not None:
+                line += "  KID: %.5f" % kid_val
         print(line)
 
 

@@ -158,6 +158,19 @@ def convert_vgg16(pth_path, npz_out):
     return npz_out
 
 
+def convert_inception(pth_path, npz_out):
+    """Inception3 state_dict (torchvision inception_v3 OR the TF-ported
+    FID weight file — same key schema) -> .npz consumed by
+    dsgan_tpu.models.inception.load_torchvision_npz. Raw keys are kept;
+    the loader does the OIHW->HWIO mapping."""
+    sd = _load_state_dict(pth_path)
+    keep = {k: v for k, v in sd.items()
+            if not k.startswith(("fc.", "AuxLogits."))
+            and not k.endswith("num_batches_tracked")}
+    np.savez(npz_out, **keep)
+    return npz_out
+
+
 def save_params_npz(params, path):
     """Flatten a flax params dict into an npz (slash-joined keys)."""
     from flax import traverse_util
@@ -176,13 +189,16 @@ def load_params_npz(path):
 
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("kind", choices=["g", "d", "vgg"], help="which network the .pth holds")
+    ap.add_argument("kind", choices=["g", "d", "vgg", "inception"],
+                    help="which network the .pth holds")
     ap.add_argument("pth", help="input .pth (or pre-dumped .npz) path")
     ap.add_argument("out", help="output .npz path")
     ap.add_argument("--n_layers", type=int, default=3)
     args = ap.parse_args()
     if args.kind == "vgg":
         convert_vgg16(args.pth, args.out)
+    elif args.kind == "inception":
+        convert_inception(args.pth, args.out)
     elif args.kind == "g":
         save_params_npz(convert_mixconvnext(args.pth), args.out)
     else:
