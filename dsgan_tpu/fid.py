@@ -74,6 +74,10 @@ def main(argv=None):
                               batch=args.batch)
     fa = extract(_load_folder(args.dir_a, args.suffix_a, args.how_many))
     fb = extract(_load_folder(args.dir_b, args.suffix_b, args.how_many))
+    if min(len(fa), len(fb)) < 2:
+        raise SystemExit(
+            "FID needs >= 2 images per folder (covariance is undefined "
+            f"below that): got {len(fa)} / {len(fb)}")
     out = {"fid": fid_ops.fid_from_features(fa, fb),
            "n_a": int(len(fa)), "n_b": int(len(fb))}
     if not args.no_kid:

@@ -273,11 +273,13 @@ class BaseModel:
         if k > 0:
             # Prune BEFORE issuing the new async save: keep_latest waits for
             # in-flight serialization, so pruning afterwards would block on
-            # the save just issued and negate the async overlap. Keeping the
-            # newest k-1 here leaves exactly k on disk once this epoch's
-            # save lands (the wait inside only touches last epoch's save,
-            # which overlapped the whole epoch).
-            ckpt.keep_latest(self.save_dir, k - 1, keep_none_ok=True)
+            # the save just issued and negate the async overlap. Prune to k
+            # (NOT k-1): the new save has not landed yet, and keeping only
+            # k-1 would leave a window (the whole async serialization) with
+            # fewer than the promised checkpoints — with --keep_ckpts 1 a
+            # crash mid-save would leave ZERO. One transient extra dir
+            # until the save lands is the price of the safety invariant.
+            ckpt.keep_latest(self.save_dir, k)
         path = ckpt.save_state(self.save_dir, which_epoch, self._checkpoint_pytree())
         print(f"saved checkpoint: {path}")
 

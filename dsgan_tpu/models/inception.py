@@ -286,14 +286,72 @@ def prepare_images(x, dtype=jnp.float32):
     return jnp.clip(x, -1.0, 1.0)
 
 
-def make_feature_fn(weights, fid_variant=True, batch=8, dtype=jnp.float32):
-    """Build `extract(images) -> (N, 2048) np.ndarray`.
+class FeatureAccumulator:
+    """Streaming pool3-feature extraction: ``add()`` images one at a time
+    (HWC uint8 or [-1,1] float, gray or RGB; mixed sizes are host-resized
+    to the first image's size, then batch-resized to 299 on device),
+    keeping only one image batch + the (N, 2048) features in memory.
+    ``result()`` flushes and returns the feature matrix."""
+
+    def __init__(self, apply, variables, batch):
+        self._apply = apply
+        self._variables = variables
+        self._batch = max(1, int(batch))
+        self._buf = []
+        self._feats = []
+        self._shape = None  # HWC of the first image = the batch shape
+
+    def add(self, im):
+        im = np.asarray(im)
+        if im.dtype == np.uint8:
+            im = im.astype(np.float32) / 127.5 - 1.0
+        if im.ndim == 2:
+            im = im[..., None]
+        if im.shape[-1] == 1:
+            im = np.repeat(im, 3, axis=-1)
+        im = im.astype(np.float32)
+        if self._shape is None:
+            self._shape = im.shape
+        elif im.shape != self._shape:
+            from PIL import Image
+
+            th, tw = self._shape[:2]
+            u8 = np.clip((im + 1.0) * 127.5, 0, 255).astype(np.uint8)
+            im = np.asarray(
+                Image.fromarray(u8).resize((tw, th), Image.BILINEAR),
+                np.float32) / 127.5 - 1.0
+        self._buf.append(im)
+        if len(self._buf) == self._batch:
+            self._flush()
+
+    def _flush(self):
+        n = len(self._buf)
+        if n == 0:
+            return
+        chunk = np.stack(self._buf, axis=0)
+        if n < self._batch:  # pad to the compiled batch shape
+            chunk = np.concatenate(
+                [chunk, np.zeros((self._batch - n, *chunk.shape[1:]),
+                                 chunk.dtype)], axis=0)
+        self._feats.append(
+            np.asarray(self._apply(self._variables, jnp.asarray(chunk)))[:n])
+        self._buf.clear()
+
+    def result(self):
+        self._flush()
+        if not self._feats:
+            return np.zeros((0, 2048), np.float32)
+        return np.concatenate(self._feats, axis=0)
+
+
+def make_feature_accumulators(weights, fid_variant=True, batch=8,
+                              dtype=jnp.float32):
+    """Load weights + jit once; returns a zero-arg factory of
+    FeatureAccumulator instances sharing that compiled extractor.
 
     ``weights``: path to a converted .npz (pth_convert.convert_inception),
     or the literal string ``"random"`` for random-init features (pipeline
     tests only — any FID from these is meaningless, and we say so loudly).
-    ``images``: iterable of HWC uint8 (or [-1,1] float) arrays, any size.
-    Batches are padded to a fixed shape so the jit compiles once.
     """
     model = InceptionPool3(fid_variant=fid_variant, dtype=dtype)
     if weights == "random":
@@ -307,37 +365,18 @@ def make_feature_fn(weights, fid_variant=True, batch=8, dtype=jnp.float32):
     variables = jax.tree_util.tree_map(jnp.asarray, variables)
 
     apply = jax.jit(lambda v, x: model.apply(v, prepare_images(x)))
+    return lambda: FeatureAccumulator(apply, variables, batch)
+
+
+def make_feature_fn(weights, fid_variant=True, batch=8, dtype=jnp.float32):
+    """Build `extract(images) -> (N, 2048) np.ndarray` over an iterable
+    of images (see FeatureAccumulator for accepted formats)."""
+    new_acc = make_feature_accumulators(weights, fid_variant, batch, dtype)
 
     def extract(images):
-        feats = []
-        buf = []
-
-        def flush():
-            n = len(buf)
-            if n == 0:
-                return
-            chunk = np.stack(buf, axis=0)
-            if n < batch:  # pad to the compiled batch shape
-                chunk = np.concatenate(
-                    [chunk, np.zeros((batch - n, *chunk.shape[1:]),
-                                     chunk.dtype)], axis=0)
-            feats.append(np.asarray(apply(variables, jnp.asarray(chunk)))[:n])
-            buf.clear()
-
+        acc = new_acc()
         for im in images:
-            im = np.asarray(im)
-            if im.dtype == np.uint8:
-                im = im.astype(np.float32) / 127.5 - 1.0
-            if im.ndim == 2:
-                im = im[..., None]
-            if im.shape[-1] == 1:
-                im = np.repeat(im, 3, axis=-1)
-            buf.append(im.astype(np.float32))
-            if len(buf) == batch:
-                flush()
-        flush()
-        if not feats:
-            return np.zeros((0, 2048), np.float32)
-        return np.concatenate(feats, axis=0)
+            acc.add(im)
+        return acc.result()
 
     return extract

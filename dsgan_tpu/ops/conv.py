@@ -149,30 +149,15 @@ def dw_conv_s2d(x, kflat, b, k, f):
     x: (B,H,W,C), H,W divisible by f; kflat: (k,k,C); b: (C,) or None.
     Production uses: the MixConvNeXtML c1 block dwconv (C=3, k=7, f=4)
     and the MidMLKA mid32 bank (C=32, k=9, f=2).
-    """
-    bsz, h, w, c = x.shape
-    t = (k // 2 + f - 1) // f
-    pad = f * t + (f - 1) - k // 2
-    kp = 2 * t + 1
-    kpad = jnp.pad(kflat, ((pad, pad), (pad, pad), (0, 0)))
-    di = jnp.arange(kp)[:, None, None]
-    ph = jnp.arange(f)[None, :, None]   # output phase p
-    qh = jnp.arange(f)[None, None, :]   # input phase q
-    u = pad + k // 2 + f * (di - t) + qh - ph          # in [0, k-1+2*pad]
-    # w6[di,dj,py,px,qy,qx,c] = kpad[u(di,py,qy), v(dj,px,qx), c]
-    w6 = kpad[u[:, None, :, None, :, None], u[None, :, None, :, None, :], :]
-    w6 = jnp.transpose(w6, (0, 1, 4, 5, 2, 3, 6))      # (di,dj,qy,qx,py,px,c)
-    eye = jnp.eye(c, dtype=w6.dtype)
-    wd = eye[None, None, None, None, :, None, None, :] * w6[:, :, :, :, None, :, :, :]
-    wd = wd.reshape(kp, kp, f * f * c, f * f * c)
-    bd = None if b is None else jnp.tile(b, f * f)
-    wd, bd = jax.lax.optimization_barrier((wd, bd))
 
-    xp = x.reshape(bsz, h // f, f, w // f, f, c)
-    xp = jnp.transpose(xp, (0, 1, 3, 2, 4, 5)).reshape(bsz, h // f, w // f, f * f * c)
-    yp = conv2d(xp, wd, bd, stride=1, padding=t)
-    y = yp.reshape(bsz, h // f, w // f, f, f, c)
-    return jnp.transpose(y, (0, 1, 3, 2, 4, 5)).reshape(bsz, h, w, c)
+    Implementation: the depthwise kernel is a channel-diagonal dense
+    kernel — one shared packing/index-algebra path (conv2d_s2d).
+    """
+    assert kflat.shape[0] == k, (kflat.shape, k)
+    c = x.shape[-1]
+    eye = jnp.eye(c, dtype=kflat.dtype)
+    w_dense = kflat[:, :, None, :] * eye[None, None, :, :]
+    return conv2d_s2d(x, w_dense, b, f)
 
 
 def _s2d_pack_kernel(w, f):

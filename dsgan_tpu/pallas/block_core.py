@@ -364,18 +364,7 @@ def _in_vjp_bwd(interpret, res, g):
     dn4, dx, dw1, db1, dw2, db2, dws, s1, s2 = _bwd_impl(
         h, x, mean, rsig, w1, b1, w2, b2, ws, g, interpret
     )
-    dt = h.dtype
-    # per-(b,c) f32 scalars; the big elementwise pass stays in dt.
-    #   dh = rsig*dn - rsig*S1/HW - rsig^3*S2/HW*(h - mean)
-    #      = dn*c1 - h*c3 + (mean*c3 - rsig*S1/HW)
-    c1 = rsig
-    c3 = (rsig ** 3) * s2 / hw
-    c0 = mean * c3 - rsig * s1 / hw
-    dh = (
-        dn4 * c1[:, None, None, :].astype(dt)
-        - h * c3[:, None, None, :].astype(dt)
-        + c0[:, None, None, :].astype(dt)
-    )
+    dh = _in_fold(dn4, h, mean, rsig, s1, s2, hw)
     return (dh, dx, dw1, db1, dw2, db2, dws)
 
 
@@ -697,7 +686,10 @@ def _in2_vjp_fwd(ha, hb, xa, xb, w1, b1, w2, b2, ws, interpret):
 
 
 def _in_fold(dn, h, mean, rsig, s1, s2, hw):
-    """Closed-form IN cotangent from the kernel's S1/S2 (see block_core_in)."""
+    """Closed-form IN cotangent from the kernel's S1/S2 (both VJPs):
+      dh = rsig*dn - rsig*S1/HW - rsig^3*S2/HW*(h - mean)
+         = dn*c1 - h*c3 + (mean*c3 - rsig*S1/HW)
+    per-(b,c) f32 scalars; the big elementwise pass stays in h.dtype."""
     dt = h.dtype
     c1 = rsig
     c3 = (rsig ** 3) * s2 / hw

@@ -52,8 +52,12 @@ def main(argv=None, dataset_path=None, out_path=None):
     )
 
     rows = []
-    fake_ims, real_ims = [], []
-    want_fid = bool(getattr(opt, "inception_weights", ""))
+    acc_fake = acc_real = None
+    if getattr(opt, "inception_weights", ""):
+        from dsgan_tpu.models.inception import make_feature_accumulators
+
+        new_acc = make_feature_accumulators(opt.inception_weights)
+        acc_fake, acc_real = new_acc(), new_acc()
     for i, data in enumerate(dataset):
         if i >= opt.how_many:
             break
@@ -77,26 +81,25 @@ def main(argv=None, dataset_path=None, out_path=None):
                     jnp.asarray(visuals["fake_B"][None].astype("float32")),
                     data_range=255,
                 ))
-        if want_fid and "real_B" in visuals:
-            fake_ims.append(visuals["fake_B"])
-            real_ims.append(visuals["real_B"])
+        if acc_fake is not None and "real_B" in visuals:
+            acc_fake.add(visuals["fake_B"])
+            acc_real.add(visuals["real_B"])
         save_images(webpage, visuals, data["A_paths"], aspect_ratio=opt.aspect_ratio)
         rows.append(row)
 
     webpage.save()
 
     fid_val = kid_val = kid_std = None
-    if want_fid and fake_ims:
-        from dsgan_tpu.models.inception import make_feature_fn
-        from dsgan_tpu.ops import fid as fid_ops
-
-        extract = make_feature_fn(opt.inception_weights,
-                                  batch=min(8, len(fake_ims)))
-        ff, fr = extract(fake_ims), extract(real_ims)
-        fid_val = fid_ops.fid_from_features(ff, fr)
+    if acc_fake is not None:
+        ff, fr = acc_fake.result(), acc_real.result()
         if min(len(ff), len(fr)) >= 2:
+            from dsgan_tpu.ops import fid as fid_ops
+
+            fid_val = fid_ops.fid_from_features(ff, fr)
             kid_val, kid_std = fid_ops.kid_from_features(
                 ff, fr, subset_size=min(len(ff), len(fr), 100))
+        else:
+            print("skipping FID/KID: need >= 2 evaluated pairs")
 
     summary_path = os.path.join(web_dir, "metrics.csv")
     with open(summary_path, "w", newline="") as f:

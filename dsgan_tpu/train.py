@@ -156,6 +156,10 @@ def main(argv=None, dataset_path=None, out_path=None):
     from dsgan_tpu.utils import checkpoint as _ckpt
 
     _ckpt.wait_for_saves()
+    # the in-run prune keeps k+1 (never deleting below k while a save is
+    # in flight); with everything landed, settle to exactly --keep_ckpts
+    if int(getattr(opt, "keep_ckpts", 0) or 0) > 0:
+        _ckpt.keep_latest(model.save_dir, int(opt.keep_ckpts))
 
 
 if __name__ == "__main__":

@@ -188,3 +188,23 @@ def _flat_items(tree, prefix=""):
         else:
             out.append((key, v))
     return out
+
+
+@pytest.mark.slow
+def test_keep_ckpts_retention_through_cli(tiny_dataset, tmp_path):
+    """--keep_ckpts k must end the run with exactly k checkpoints (the
+    newest), and the pre-save prune must never drop below k while a save
+    is in flight (the old checkpoint survives until the new one lands)."""
+    from dsgan_tpu.train import main as train_main
+
+    out = str(tmp_path / "out")
+    train_main(
+        COMMON + TRAIN_ONLY + ["--niter", "3", "--niter_decay", "0",
+                  "--print_freq", "100", "--keep_ckpts", "1",
+                  "--name", "keep"],
+        dataset_path=tiny_dataset,
+        out_path=out,
+    )
+    ckpt_dir = os.path.join(out, "checkpoints", "keep")
+    epochs = sorted(d for d in os.listdir(ckpt_dir) if d.startswith("epoch_"))
+    assert epochs == ["epoch_3"], epochs
