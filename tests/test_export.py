@@ -94,3 +94,35 @@ def test_export_cli_after_training(tmp_path):
     x = np.zeros((1, 32, 32, 3), np.uint8)
     y = np.asarray(call(x))
     assert y.shape == (1, 32, 32, 3) and y.dtype == np.uint8
+
+
+def test_flagship_generator_exports(tmp_path):
+    """MixConvNeXtML contains custom-VJP ops (conv2d_lanefix) and the
+    s2d-packed dw convs — the export path must lower their FORWARDS to
+    plain StableHLO and round-trip exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from dsgan_tpu import ops
+    from dsgan_tpu.export import export_generator, load_artifact, save_artifact
+    from dsgan_tpu.models import define_G, init_params
+    from dsgan_tpu.models.pix2pix import _apply_net
+
+    g = define_G(3, 3, 16, "MixConvNeXtML", dtype=jnp.float32, inference=True)
+    variables = init_params(g, jax.random.PRNGKey(0), (1, 64, 64, 3), "normal")
+    blob, meta = export_generator(g, variables, 64, 64, 3,
+                                  platforms=("cpu",), uint8_io=True)
+    path = save_artifact(str(tmp_path / "g.stablehlo"), blob, meta)
+    call, _ = load_artifact(path)
+
+    rng = np.random.default_rng(2)
+    x = rng.integers(0, 255, (1, 64, 64, 3)).astype(np.uint8)
+    got = np.asarray(call(x)).astype(np.int32)
+    y = _apply_net(g, variables["params"], ops.normalize_u8(x), False)
+    want = np.asarray(ops.metrics.quantize_uint8(y)).astype(np.int32)
+    # AOT and JIT compilations may fuse the f32 graph differently; a pixel
+    # landing exactly on a quantization boundary may round apart (measured:
+    # 1/12288 at +-1). Identical beyond that.
+    diff = np.abs(got - want)
+    assert diff.max() <= 1 and (diff > 0).mean() < 1e-3, (
+        int(diff.max()), float((diff > 0).mean()))
