@@ -180,7 +180,7 @@ def main(argv=None):
             row += [warp_out[t - 1], warp_in[t - 1]]
         rows.append(row)
 
-    ssim_mean = psnr_mean = None
+    ssim_mean = psnr_mean = fid_val = kid_val = None
     if opt.gt_dir:
         import jax.numpy as jnp
 
@@ -194,6 +194,21 @@ def main(argv=None):
         gq = ops.metrics.quantize_uint8(jnp.asarray(gt))
         ssim_mean = float(np.asarray(ops.ssim_uint8(gq, yq)))
         psnr_mean = float(np.asarray(ops.psnr_uint8(gq, yq)))
+        if getattr(opt, "inception_weights", "") and len(paths) >= 2:
+            # distribution-level frame quality (same protocol as the
+            # image eval CLI; see models/inception.py)
+            from dsgan_tpu.models.inception import make_feature_accumulators
+            from dsgan_tpu.ops import fid as fid_ops
+
+            new_acc = make_feature_accumulators(opt.inception_weights)
+            acc_y, acc_g = new_acc(), new_acc()
+            for t in range(len(paths)):
+                acc_y.add(y[t])
+                acc_g.add(gt[t])
+            ff, fr = acc_y.result(), acc_g.result()
+            fid_val = fid_ops.fid_from_features(ff, fr)
+            kid_val, _ = fid_ops.kid_from_features(
+                ff, fr, subset_size=min(len(ff), 100))
 
     with open(os.path.join(results_dir, "temporal.csv"), "w", newline="") as f:
         wtr = csv.writer(f)
@@ -206,6 +221,9 @@ def main(argv=None):
         if ssim_mean is not None:
             wtr.writerow(["mean_ssim", ssim_mean])
             wtr.writerow(["mean_psnr", psnr_mean])
+        if fid_val is not None:
+            wtr.writerow(["fid", fid_val])
+            wtr.writerow(["kid", kid_val])
 
     msg = f"frames: {len(paths)}  temporal-consistency ratio: {tc:.4f}"
     if warp_out is not None:
@@ -213,6 +231,8 @@ def main(argv=None):
                 f"{float(np.mean(warp_out)):.4f}/{float(np.mean(warp_in)):.4f}")
     if ssim_mean is not None:
         msg += f"  mean SSIM: {ssim_mean:.4f}  mean PSNR: {psnr_mean:.3f}"
+    if fid_val is not None:
+        msg += f"  FID: {fid_val:.3f}"
     print(msg)
     print(f"wrote {os.path.join(results_dir, 'temporal.csv')}")
     return tc

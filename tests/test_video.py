@@ -106,3 +106,44 @@ def test_video_sharded_matches_single_device(tmp_path):
         p1, p2 = l1.split(","), l2.split(",")
         if len(p1) >= 3 and p1[0] != "frame":
             np.testing.assert_allclose(float(p1[1]), float(p2[1]), rtol=1e-3, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_video_fid_metrics(tmp_path):
+    import jax
+    from dsgan_tpu.models import registry
+    from dsgan_tpu.utils import checkpoint as ckpt
+
+    h = w = 32
+    g = registry.define_G(3, 3, 8, "resnet_6blocks", dtype=None)
+    params = registry.init_params(
+        g, jax.random.PRNGKey(0), (1, h, w, 3), "normal")["params"]
+    save_dir = str(tmp_path / "ckpt" / "vfid")
+    ckpt.save_state(save_dir, 1, {"state": {"params_G": params}},
+                    async_save=False)
+
+    frames = tmp_path / "frames"
+    gt = tmp_path / "gt"
+    os.makedirs(frames); os.makedirs(gt)
+    rng = np.random.default_rng(1)
+    for t in range(3):
+        Image.fromarray(rng.integers(0, 255, (h, w, 3)).astype(np.uint8)
+                        ).save(frames / f"f{t:03d}.png")
+        Image.fromarray(rng.integers(0, 255, (h, w, 3)).astype(np.uint8)
+                        ).save(gt / f"f{t:03d}.png")
+
+    from dsgan_tpu import video
+
+    video.main([
+        "--dataroot", str(frames), "--name", "vfid",
+        "--checkpoints_dir", str(tmp_path / "ckpt"),
+        "--results_dir", str(tmp_path / "results"),
+        "--which_epoch", "1", "--which_model_netG", "resnet_6blocks",
+        "--ngf", "8", "--dtype", "float32", "--batchSize", "2",
+        "--fineSize_w", "32", "--fineSize_h", "32",
+        "--loadSize_w", "32", "--loadSize_h", "32",
+        "--gt_dir", str(gt), "--no_flow_metric",
+        "--inception_weights", "random",
+    ])
+    text = (tmp_path / "results" / "vfid" / "video" / "temporal.csv").read_text()
+    assert "fid," in text and "kid," in text
