@@ -26,6 +26,11 @@ import numpy as np
 
 
 def _load_folder(path, suffix, limit):
+    # No host-side resize: images go to the extractor at native size and
+    # are resized to 299 on device by jax.image.resize bilinear, which
+    # matches pytorch-fid's F.interpolate(align_corners=False) exactly
+    # (PIL's filter does not). Mixed-size folders are normalized to the
+    # first image's size by the accumulator (a documented deviation).
     from PIL import Image
 
     from dsgan_tpu.data.image_folder import list_images
@@ -37,10 +42,7 @@ def _load_folder(path, suffix, limit):
     if not files:
         raise SystemExit(f"no images found under {path!r} (suffix={suffix!r})")
     for f in files:
-        im = Image.open(f).convert("RGB")
-        if im.size != (299, 299):
-            im = im.resize((299, 299), Image.BILINEAR)
-        yield np.asarray(im, np.uint8)
+        yield np.asarray(Image.open(f).convert("RGB"), np.uint8)
 
 
 def main(argv=None):
