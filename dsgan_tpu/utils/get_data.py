@@ -34,12 +34,14 @@ class GetData:
     >>> gd.get(save_path='./datasets')  # interactive selection
     """
 
-    def __init__(self, technique="cyclegan", verbose=True):
+    def __init__(self, technique="cyclegan", verbose=True, url=None):
         url_dict = {
             "pix2pix": "https://efrosgans.eecs.berkeley.edu/pix2pix/datasets/",
             "cyclegan": "https://efrosgans.eecs.berkeley.edu/cyclegan/datasets/",
         }
-        self.url = url_dict[technique.lower()]
+        # url overrides the canonical listing (mirrors / local archives);
+        # must end with '/' and serve an HTML index of archive links.
+        self.url = url if url is not None else url_dict[technique.lower()]
         self._verbose = verbose
 
     def _print(self, text):
