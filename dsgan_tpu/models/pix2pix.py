@@ -21,7 +21,6 @@ TPU-native design:
 """
 
 import dataclasses
-import functools
 import inspect
 from typing import Any, Optional
 

@@ -22,7 +22,6 @@ Reference geometry being matched (behavior, not code):
   * AvgPool2d(2, padding=s%2) with count_include_pad=True (MS_SSIM.py:215).
 """
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

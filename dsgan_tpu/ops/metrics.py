@@ -19,7 +19,6 @@ no boundary handling is needed.
 
 import jax.numpy as jnp
 import numpy as np
-from jax import lax
 
 
 def normalize_u8(x):

@@ -16,7 +16,6 @@ Use ``spatial`` for large resolutions (512^2+, video frames) where one
 chip's HBM can't hold the activations; use ``data`` for throughput.
 """
 
-from functools import partial
 
 import jax
 import numpy as np

@@ -21,9 +21,7 @@ import numpy as np
 
 from dsgan_tpu.data import CreateDataLoader
 from dsgan_tpu.models import create_model
-from dsgan_tpu.options.test_options import TestOptions
 from dsgan_tpu.options.train_options import TrainOptions
-from dsgan_tpu.utils.util import tensor2im
 from dsgan_tpu.utils.visualizer import Visualizer
 
 

@@ -19,8 +19,6 @@ import atexit
 import os
 import shutil
 
-import jax
-import numpy as np
 import orbax.checkpoint as ocp
 
 _async_ckptr = None
