@@ -156,6 +156,35 @@ def main():
     known = tgb + tdb + tdg + tv + ts + 2 * ta
     print(f"{'sum of parts (approx)':34s} {known*1e3:9.2f} ms")
 
+    # xprof DEVICE time of the same chained sequence — separates real
+    # on-chip time from relay dispatch overhead in the wall number above
+    # (the step-budget components in docs/PERF.md sum well below the wall
+    # step; this line attributes the difference).
+    import glob
+
+    outdir = "/tmp/step_device_trace"
+    os.system(f"rm -rf {outdir}")
+    with jax.profiler.trace(outdir):
+        for _ in range(N):
+            state, metrics, _ = step(state, A, B, jnp.float32(2e-4))
+        float(np.asarray(metrics["loss_G"]))
+    from jax.profiler import ProfileData
+
+    total = 0.0
+    pd = ProfileData.from_file(
+        glob.glob(f"{outdir}/**/*.xplane.pb", recursive=True)[0])
+    for plane in pd.planes:
+        if plane.name != "/device:TPU:0":
+            continue
+        for line in plane.lines:
+            if line.name != "XLA Modules":
+                continue
+            for ev in line.events:
+                total += ev.duration_ns / 1e6
+    td = total / N / 1e3
+    print(f"{'FULL STEP (xprof device)':34s} {td*1e3:9.2f} ms   "
+          f"-> {BATCH/td:7.1f} img/s", flush=True)
+
 
 if __name__ == "__main__":
     main()
