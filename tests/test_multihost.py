@@ -6,6 +6,8 @@ passes exactly what a pod launch needs. (The in-slice mesh logic is
 covered on the virtual 8-device CPU mesh in test_parallel.py.)
 """
 
+import os
+
 import jax
 import pytest
 
@@ -93,3 +95,46 @@ def test_platform_flag_sets_jax_config():
     assert opt.platform == "cpu"
     assert jax.config.jax_platforms == "cpu"
     assert jax.default_backend() == "cpu"
+
+
+@pytest.mark.slow
+def test_two_process_training_live(tmp_path):
+    """The production --num_hosts path run for REAL: two OS processes,
+    each with 2 virtual CPU devices, joined by jax.distributed through
+    multihost.initialize (env-var wiring), training the fused pix2pix
+    step over the global 4-device data mesh. Both ranks must see the
+    same global device set and produce identical losses."""
+    import socket
+    import subprocess
+    import sys as _sys
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    worker = os.path.join(os.path.dirname(__file__), "mh_worker.py")
+    procs = []
+    for rank in (0, 1):
+        env = dict(os.environ)
+        env.update({
+            "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
+            "JAX_COORDINATOR_ADDRESS": f"127.0.0.1:{port}",
+            "JAX_PROCESS_ID": str(rank),
+        })
+        procs.append(subprocess.Popen(
+            [_sys.executable, worker, str(tmp_path), str(rank)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True,
+        ))
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-2000:]
+    lines = {}
+    for out in outs:
+        for ln in out.splitlines():
+            if ln.startswith("MH_LOSSES"):
+                _, rank, payload = ln.split(" ", 2)
+                lines[int(rank)] = payload
+    assert set(lines) == {0, 1}, outs[0][-1500:]
+    assert lines[0] == lines[1], lines
+    assert "nan" not in lines[0] and "inf" not in lines[0]
