@@ -19,6 +19,8 @@ block kernels ON (as in the CLI on TPU), pool 50, all loss terms.
 
 import json
 import os
+import sys
+import threading
 import time
 
 import jax
@@ -26,7 +28,26 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _watchdog(seconds):
+    """Fail CLEANLY if the accelerator relay is hung (observed: hours-long
+    axon outages where even a 256x256 matmul never completes). A bench
+    that hangs blocks the whole round pipeline; a timed-out bench is an
+    honest 'device unreachable' signal instead of a fabricated number."""
+
+    def boom():
+        print(f"BENCH WATCHDOG: no result after {seconds}s — accelerator "
+              "relay unresponsive; aborting without a metric.",
+              file=sys.stderr, flush=True)
+        os._exit(3)
+
+    t = threading.Timer(seconds, boom)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def main():
+    timer = _watchdog(int(os.environ.get("BENCH_WATCHDOG_S", "1800")))
     if os.environ.get("BENCH_GELU", "tanh") != "exact":
         from dsgan_tpu.models.layers import set_gelu_mode
 
@@ -108,6 +129,7 @@ def main():
     dt = time.perf_counter() - t0
 
     ips = batch * steps / dt
+    timer.cancel()
     print(json.dumps({
         "metric": "train_images_per_sec",
         "value": round(ips, 2),
