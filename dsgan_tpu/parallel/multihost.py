@@ -48,6 +48,17 @@ def initialize(num_hosts: int, coordinator: str = None, process_id: int = None):
     if process_id is not None:
         kwargs["process_id"] = process_id
     jax.distributed.initialize(**kwargs)
+    # Establish the cross-process collective context NOW, while every
+    # rank is at the same point (initialize() is itself a rendezvous).
+    # The context is otherwise created lazily at the first collective —
+    # which may be minutes into model construction, skewed across ranks
+    # by compile timing, and its key-exchange window is short (observed:
+    # gloo 30 s GetKeyValue timeout killing a 2-process CPU run whose
+    # ranks compiled at different speeds). Doing it here also fail-fasts
+    # broken inter-host connectivity at startup instead of mid-step.
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices("dsgan:multihost_init")
     _initialized = True
     return True
 

@@ -52,6 +52,10 @@ def main():
     print("MH_LOSSES", jax.process_index(),
           ";".join(f"{k}={float(v):.6f}" for k, v in sorted(losses.items())),
           flush=True)
+    # Reach the distributed shutdown barrier TOGETHER: interpreter
+    # teardown time is skewed across ranks (e.g. compile-cache writes)
+    # and the atexit barrier times out if one rank lags minutes behind.
+    jax.distributed.shutdown()
 
 
 if __name__ == "__main__":

@@ -127,14 +127,18 @@ def test_two_process_training_live(tmp_path):
             text=True,
         ))
     outs = [p.communicate(timeout=600)[0] for p in procs]
-    for p, out in zip(procs, outs):
-        assert p.returncode == 0, out[-2000:]
     lines = {}
     for out in outs:
         for ln in out.splitlines():
             if ln.startswith("MH_LOSSES"):
                 _, rank, payload = ln.split(" ", 2)
                 lines[int(rank)] = payload
-    assert set(lines) == {0, 1}, outs[0][-1500:]
+    # The tested property is the TRAINING result: both ranks must have
+    # printed identical finite losses. Exit codes are checked after —
+    # a rank that trained fine but tripped the (timing-sensitive)
+    # distributed shutdown barrier still printed its line.
+    assert set(lines) == {0, 1}, (outs[0][-1500:], outs[1][-1500:])
     assert lines[0] == lines[1], lines
     assert "nan" not in lines[0] and "inf" not in lines[0]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-2000:]
