@@ -22,13 +22,16 @@ import numpy as np  # noqa: E402
 
 def main():
     ckpt_dir, rank = sys.argv[1], sys.argv[2]
+    data_axis = sys.argv[3] if len(sys.argv) > 3 else "4"
+    spatial_axis = sys.argv[4] if len(sys.argv) > 4 else "1"
     from dsgan_tpu.options.train_options import TrainOptions
 
     opt = TrainOptions().parse(argv=[
         "--num_hosts", "2", "--name", f"mh{rank}",
         "--checkpoints_dir", ckpt_dir,
         "--which_model_netG", "resnet_6blocks", "--ngf", "8", "--ndf", "8",
-        "--dtype", "float32", "--batchSize", "4", "--data_axis", "4",
+        "--dtype", "float32", "--batchSize", "4",
+        "--data_axis", data_axis, "--spatial_axis", spatial_axis,
         "--fineSize_w", "32", "--fineSize_h", "32",
         "--loadSize_w", "32", "--loadSize_h", "32",
         "--pool_size", "0", "--w_vgg", "0", "--seed", "20",

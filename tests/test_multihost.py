@@ -98,12 +98,14 @@ def test_platform_flag_sets_jax_config():
 
 
 @pytest.mark.slow
-def test_two_process_training_live(tmp_path):
+@pytest.mark.parametrize("data_axis,spatial_axis", [("4", "1"), ("2", "2")])
+def test_two_process_training_live(tmp_path, data_axis, spatial_axis):
     """The production --num_hosts path run for REAL: two OS processes,
     each with 2 virtual CPU devices, joined by jax.distributed through
     multihost.initialize (env-var wiring), training the fused pix2pix
-    step over the global 4-device data mesh. Both ranks must see the
-    same global device set and produce identical losses."""
+    step over the global 4-device mesh. The 2x2 case spatially shards
+    image rows ACROSS the process boundary — conv halo exchanges ride
+    the inter-process fabric. Both ranks must produce identical losses."""
     import socket
     import subprocess
     import sys as _sys
@@ -122,7 +124,8 @@ def test_two_process_training_live(tmp_path):
             "JAX_PROCESS_ID": str(rank),
         })
         procs.append(subprocess.Popen(
-            [_sys.executable, worker, str(tmp_path), str(rank)],
+            [_sys.executable, worker, str(tmp_path), str(rank),
+             data_axis, spatial_axis],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True,
         ))
