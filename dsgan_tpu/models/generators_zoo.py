@@ -125,6 +125,11 @@ class UnetGenerator(nn.Module):
                 h = Conv(ch, 4, 2, 1, bias=use_bias, dtype=self.dtype, name=f"down{i}")(h)
             else:
                 h = leaky_relu(h, 0.2)
+                # Reference parity (networks.py:491 + 529): downrelu is an
+                # INPLACE LeakyReLU, so it mutates the tensor the block
+                # later concatenates as the skip — the u-net skip carries
+                # the POST-relu activation, not the raw block input.
+                skips[i - 1] = h
                 h = Conv(ch, 4, 2, 1, bias=use_bias, dtype=self.dtype, name=f"down{i}")(h)
                 if i != len(enc_ch) - 1:  # innermost level has no down-norm
                     h = Norm(self.norm, name=f"down_norm{i}")(h, train)

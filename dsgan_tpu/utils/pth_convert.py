@@ -158,6 +158,120 @@ def convert_vgg16(pth_path, npz_out):
     return npz_out
 
 
+def convert_resnet_generator(path):
+    """Reference ResnetGenerator (networks.py:215-262, instance norm,
+    any n_blocks/ngf/padding, with or without dropout) -> our
+    generators_zoo.ResnetGenerator param tree.
+
+    The torch module is one nn.Sequential, so keys are positional
+    (model.N...). Rather than hard-coding index arithmetic (which shifts
+    with use_dropout and padding_type), walk the indices in order and
+    assign by module KIND: the conv sequence is [conv_in, down0, down1,
+    <blocks>, up0(T), up1(T), conv_out], preludes in the same order.
+    InstanceNorm2d(affine=False) contributes no parameters."""
+    sd = _load_state_dict(path)
+
+    tops = {}
+    for k in sd:
+        assert k.startswith("model."), k
+        tops.setdefault(int(k.split(".")[1]), []).append(k)
+
+    params = {}
+    convs, prelus, blocks = [], [], []
+    for idx in sorted(tops):
+        keys = tops[idx]
+        if any("conv_block" in k for k in keys):
+            blocks.append(keys)
+        elif any(sd[k].ndim == 4 for k in keys):
+            convs.append(idx)
+        else:
+            prelus.append(idx)
+
+    conv_names = ["conv_in", "down0", "down1", "up0", "up1", "conv_out"]
+    assert len(convs) == len(conv_names), (len(convs), conv_names)
+    for name, idx in zip(conv_names, convs):
+        w = sd[f"model.{idx}.weight"]
+        if name.startswith("up"):  # ConvTranspose2d: IOHW -> HWIO
+            entry = {"kernel": np.ascontiguousarray(w.transpose(2, 3, 0, 1))}
+        else:
+            entry = {"kernel": np.ascontiguousarray(w.transpose(2, 3, 1, 0))}
+        if f"model.{idx}.bias" in sd:
+            entry["bias"] = sd[f"model.{idx}.bias"]
+        params[name] = entry
+
+    prelu_names = ["prelu_in", "down_prelu0", "down_prelu1",
+                   "up_prelu0", "up_prelu1"]
+    assert len(prelus) == len(prelu_names), (len(prelus), prelu_names)
+    for name, idx in zip(prelu_names, prelus):
+        params[name] = _prelu(sd, f"model.{idx}")
+
+    for i, keys in enumerate(blocks):
+        sub = {}
+        for k in keys:
+            sub.setdefault(int(k.split(".")[3]), []).append(k)
+        bconvs = [j for j in sorted(sub) if any(sd[k].ndim == 4 for k in sub[j])]
+        bprelus = [j for j in sorted(sub)
+                   if j not in bconvs]
+        assert len(bconvs) == 2 and len(bprelus) == 1, (bconvs, bprelus)
+        base = ".".join(keys[0].split(".")[:3])  # model.N.conv_block
+        blk = {
+            "conv1": _conv_b(sd, f"{base}.{bconvs[0]}"),
+            "conv2": _conv_b(sd, f"{base}.{bconvs[1]}"),
+            "prelu": _prelu(sd, f"{base}.{bprelus[0]}"),
+        }
+        params[f"block{i}"] = blk
+    return params
+
+
+def convert_unet_generator(path):
+    """Reference UnetGenerator (networks.py:449-530, recursive
+    UnetSkipConnectionBlock nesting, instance norm) -> our flattened
+    generators_zoo.UnetGenerator param tree (down{i}/up{i}/up_prelu{i},
+    level 0 = outermost).
+
+    Each recursion level owns exactly: a down Conv2d, an up PReLU, an up
+    ConvTranspose2d (norms are InstanceNorm2d(affine=False), relus on the
+    down path are parameterless LeakyReLU); nested keys carry a further
+    '.model.' segment. Walk the nesting instead of hard-coding indices so
+    dropout/innermost index shifts are irrelevant."""
+    sd = _load_state_dict(path)
+    params = {}
+
+    def conv_entry(base, transposed):
+        w = sd[base + ".weight"]
+        perm = (2, 3, 0, 1) if transposed else (2, 3, 1, 0)
+        entry = {"kernel": np.ascontiguousarray(w.transpose(*perm))}
+        if base + ".bias" in sd:
+            entry["bias"] = sd[base + ".bias"]
+        return entry
+
+    def walk(prefix, level):
+        groups = {}
+        for k in sd:
+            if k.startswith(prefix):
+                rest = k[len(prefix):]
+                groups.setdefault(int(rest.split(".")[0]), []).append(k)
+        assert groups, f"no keys under {prefix!r}"
+        convs, prelu_idx, sub_idx = [], None, None
+        for idx in sorted(groups):
+            ks = groups[idx]
+            if any(k[len(prefix):].split(".")[1] == "model" for k in ks):
+                sub_idx = idx
+            elif any(sd[k].ndim == 4 for k in ks):
+                convs.append(idx)
+            else:
+                prelu_idx = idx
+        assert len(convs) == 2 and prelu_idx is not None, (prefix, convs)
+        params[f"down{level}"] = conv_entry(f"{prefix}{convs[0]}", False)
+        params[f"up{level}"] = conv_entry(f"{prefix}{convs[1]}", True)
+        params[f"up_prelu{level}"] = _prelu(sd, f"{prefix}{prelu_idx}")
+        if sub_idx is not None:
+            walk(f"{prefix}{sub_idx}.model.", level + 1)
+
+    walk("model.model.", 0)
+    return params
+
+
 def convert_inception(pth_path, npz_out):
     """Inception3 state_dict (torchvision inception_v3 OR the TF-ported
     FID weight file — same key schema) -> .npz consumed by
@@ -189,8 +303,9 @@ def load_params_npz(path):
 
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("kind", choices=["g", "d", "vgg", "inception"],
-                    help="which network the .pth holds")
+    ap.add_argument("kind",
+                    choices=["g", "d", "vgg", "inception", "resnet_g", "unet_g"],
+                    help="which network the .pth holds (g = MixConvNeXtML)")
     ap.add_argument("pth", help="input .pth (or pre-dumped .npz) path")
     ap.add_argument("out", help="output .npz path")
     ap.add_argument("--n_layers", type=int, default=3)
@@ -201,6 +316,10 @@ def main():
         convert_inception(args.pth, args.out)
     elif args.kind == "g":
         save_params_npz(convert_mixconvnext(args.pth), args.out)
+    elif args.kind == "resnet_g":
+        save_params_npz(convert_resnet_generator(args.pth), args.out)
+    elif args.kind == "unet_g":
+        save_params_npz(convert_unet_generator(args.pth), args.out)
     else:
         save_params_npz(convert_nlayer_discriminator(args.pth, args.n_layers), args.out)
     print(f"wrote {args.out}")
