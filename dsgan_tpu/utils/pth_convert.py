@@ -272,6 +272,88 @@ def convert_unet_generator(path):
     return params
 
 
+def convert_gll_generator(path):
+    """Reference 'gll' LocalEnhancer (networks.py:265-324: truncated
+    pix2pixHD GlobalGenerator trunk + one local-enhancer branch) -> our
+    generators_zoo.LocalEnhancer param tree.
+
+    The reference shares ONE nn.PReLU object across every activation site
+    of the global trunk and every ResnetBlock_gll (a Python default-arg
+    quirk); the state dict still carries one key per position (all equal),
+    so assigning positionally reproduces the shared value at our per-site
+    parameters — forward-identical."""
+    sd = _load_state_dict(path)
+
+    def groups_under(prefix):
+        g = {}
+        for k in sd:
+            if k.startswith(prefix):
+                g.setdefault(int(k[len(prefix):].split(".")[0]), []).append(k)
+        return g
+
+    def conv_entry(base, transposed):
+        w = sd[base + ".weight"]
+        perm = (2, 3, 0, 1) if transposed else (2, 3, 1, 0)
+        entry = {"kernel": np.ascontiguousarray(w.transpose(*perm))}
+        if base + ".bias" in sd:
+            entry["bias"] = sd[base + ".bias"]
+        return entry
+
+    def block_params(base):
+        sub = groups_under(base + ".")
+        convs = [j for j in sorted(sub) if any(sd[k].ndim == 4 for k in sub[j])]
+        prelus = [j for j in sorted(sub) if j not in convs]
+        assert len(convs) == 2 and len(prelus) == 1, (base, convs, prelus)
+        return {
+            "conv1": conv_entry(f"{base}.{convs[0]}", False),
+            "conv2": conv_entry(f"{base}.{convs[1]}", False),
+            "prelu": _prelu(sd, f"{base}.{prelus[0]}"),
+        }
+
+    def walk_trunk(prefix, conv_names, prelu_names, block_fmt,
+                   transposed=()):
+        g = groups_under(prefix)
+        convs, prelus, blocks = [], [], []
+        for idx in sorted(g):
+            ks = g[idx]
+            if any("conv_block" in k for k in ks):
+                blocks.append(idx)
+            elif any(sd[k].ndim == 4 for k in ks):
+                convs.append(idx)
+            else:
+                prelus.append(idx)
+        assert len(convs) == len(conv_names), (prefix, convs, conv_names)
+        assert len(prelus) == len(prelu_names), (prefix, prelus, prelu_names)
+        out = {}
+        for name, idx in zip(conv_names, convs):
+            out[name] = conv_entry(f"{prefix}{idx}", name in transposed)
+        for name, idx in zip(prelu_names, prelus):
+            out[name] = _prelu(sd, f"{prefix}{idx}")
+        for i, idx in enumerate(blocks):
+            out[block_fmt.format(i)] = block_params(f"{prefix}{idx}.conv_block")
+        return out
+
+    # global trunk width: conv_in + nd downs + nd transposed ups
+    nd = (sum(1 for k in sd
+              if k.startswith("model.") and "conv_block" not in k
+              and k.endswith(".weight") and sd[k].ndim == 4) - 1) // 2
+    ups = [f"up{i}" for i in range(nd)]
+    params = {"global": walk_trunk(
+        "model.",
+        ["conv_in"] + [f"down{i}" for i in range(nd)] + ups,
+        ["prelu_in"] + [f"down_prelu{i}" for i in range(nd)]
+        + [f"up_prelu{i}" for i in range(nd)],
+        "block{}", transposed=set(ups),
+    )}
+    params.update(walk_trunk(
+        "model1_1.", ["le1_conv_in", "le1_down"],
+        ["le1_prelu_in", "le1_down_prelu"], "UNUSED{}"))
+    params.update(walk_trunk(
+        "model1_2.", ["le1_up", "le1_conv_out"], ["le1_up_prelu"],
+        "le1_block{}", transposed={"le1_up"}))
+    return params
+
+
 def convert_inception(pth_path, npz_out):
     """Inception3 state_dict (torchvision inception_v3 OR the TF-ported
     FID weight file — same key schema) -> .npz consumed by
@@ -304,7 +386,7 @@ def load_params_npz(path):
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("kind",
-                    choices=["g", "d", "vgg", "inception", "resnet_g", "unet_g"],
+                    choices=["g", "d", "vgg", "inception", "resnet_g", "unet_g", "gll_g"],
                     help="which network the .pth holds (g = MixConvNeXtML)")
     ap.add_argument("pth", help="input .pth (or pre-dumped .npz) path")
     ap.add_argument("out", help="output .npz path")
@@ -320,6 +402,8 @@ def main():
         save_params_npz(convert_resnet_generator(args.pth), args.out)
     elif args.kind == "unet_g":
         save_params_npz(convert_unet_generator(args.pth), args.out)
+    elif args.kind == "gll_g":
+        save_params_npz(convert_gll_generator(args.pth), args.out)
     else:
         save_params_npz(convert_nlayer_discriminator(args.pth, args.n_layers), args.out)
     print(f"wrote {args.out}")

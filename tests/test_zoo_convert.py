@@ -108,3 +108,38 @@ def test_unet_generator_converted_forward_parity(tmp_path, use_dropout):
         train=False))
     np.testing.assert_allclose(
         got, np.transpose(want, (0, 2, 3, 1)), rtol=1e-4, atol=1e-5)
+
+
+def test_gll_generator_converted_forward_parity(tmp_path):
+    import functools
+
+    ref_networks = _import_ref_networks()
+    norm_layer = functools.partial(
+        torch.nn.InstanceNorm2d, affine=False, track_running_stats=False)
+    tm = ref_networks.LocalEnhancer(
+        3, 3, ngf=8, n_downsample_global=2, n_blocks_global=3,
+        n_local_enhancers=1, n_blocks_local=2, norm_layer=norm_layer)
+    _randomize(tm, seed=31)
+
+    rng = np.random.default_rng(2)
+    x = rng.uniform(-1, 1, (2, 3, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x)).numpy()
+
+    pth = str(tmp_path / "gll.pth")
+    torch.save(tm.state_dict(), pth)
+    from dsgan_tpu.utils.pth_convert import convert_gll_generator
+
+    params = jax.tree_util.tree_map(
+        jnp.asarray, convert_gll_generator(pth))
+
+    from dsgan_tpu.models.generators_zoo import LocalEnhancer
+
+    g = LocalEnhancer(output_nc=3, ngf=8, n_downsample_global=2,
+                      n_blocks_global=3, n_local_enhancers=1,
+                      n_blocks_local=2, dtype=None)
+    got = np.asarray(g.apply(
+        {"params": params}, jnp.asarray(np.transpose(x, (0, 2, 3, 1))),
+        train=False))
+    np.testing.assert_allclose(
+        got, np.transpose(want, (0, 2, 3, 1)), rtol=1e-4, atol=1e-5)
