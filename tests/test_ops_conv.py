@@ -186,3 +186,28 @@ def test_adaptive_pools_match_torch():
         np.asarray(ops.adaptive_max_pool(jnp.asarray(x))),
         _nhwc(F.adaptive_max_pool2d(xt, 1)), rtol=1e-6, atol=1e-6,
     )
+
+
+def test_instance_norm_bf16_high_mean_low_variance():
+    """The ill-conditioned regime from the round-2 advisor finding: with
+    |mean| >> sigma, a bf16-only normalize (x*rsig - mean*rsig) carries
+    absolute error ~ulp(|mean*rsig|) that dominates the unit-scale
+    output. The shipped form subtracts the mean in f32 and rounds the
+    O(1) result once — pin it against a float64 oracle."""
+    rng = np.random.default_rng(5)
+    # per-channel mean ~100, std ~1 (e.g. unnormalized feature maps)
+    base = rng.uniform(50, 150, (1, 1, 1, 8))
+    x_bf16 = jnp.asarray(base + rng.standard_normal((2, 16, 16, 8)),
+                         jnp.bfloat16)
+    # oracle normalizes the SAME bf16-rounded values in float64 (the input
+    # representation itself already costs ~ulp(100)~0.5; the finding is
+    # about error the NORMALIZE path adds on top)
+    x64 = np.asarray(x_bf16, np.float64)
+    mean = x64.mean(axis=(1, 2), keepdims=True)
+    std = x64.std(axis=(1, 2), keepdims=True)
+    want = (x64 - mean) / np.sqrt(std**2 + 1e-5)
+
+    got = np.asarray(ops.instance_norm(x_bf16), np.float32)
+    # bf16 output resolution is ~2^-8 of the O(1) scale; the old bf16-only
+    # path erred by up to ~0.5 here.
+    np.testing.assert_allclose(got, want, atol=0.02)
