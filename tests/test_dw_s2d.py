@@ -101,3 +101,29 @@ def test_dw_conv_s2d_gradients_match_grouped():
             np.asarray(g).reshape(np.asarray(a).shape), np.asarray(a),
             rtol=1e-4, atol=1e-4,
         )
+
+
+def test_conv2d_lanefix_bf16_production_dtype():
+    """The production path runs bf16 — pin fwd + dx against the plain
+    bf16 lowering (identical sums; only rounding differs, so tolerances
+    are bf16-resolution)."""
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 64)), jnp.bfloat16)
+    kk = jnp.asarray(rng.standard_normal((3, 3, 64, 3)) * 0.1, jnp.bfloat16)
+    b = jnp.asarray(rng.standard_normal((3,)), jnp.bfloat16)
+
+    y_fix = ops.conv2d_lanefix(x, kk, b)
+    y_ref = ops.conv2d(x, kk, b, stride=1, padding=1)
+    np.testing.assert_allclose(np.asarray(y_fix, np.float32),
+                               np.asarray(y_ref, np.float32),
+                               rtol=0.02, atol=0.05)
+
+    def loss(fn, xi):
+        return jnp.sum(jnp.square(fn(xi).astype(jnp.float32))) / 2
+
+    g_fix = jax.grad(lambda xi: loss(lambda v: ops.conv2d_lanefix(v, kk, b), xi))(x)
+    g_ref = jax.grad(lambda xi: loss(
+        lambda v: ops.conv2d(v, kk, b, stride=1, padding=1), xi))(x)
+    np.testing.assert_allclose(np.asarray(g_fix, np.float32),
+                               np.asarray(g_ref, np.float32),
+                               rtol=0.05, atol=0.25)
