@@ -53,6 +53,16 @@ def define_G(input_nc, output_nc, ngf, which_model_netG, norm="instance",
         return CascadedGenerator(output_nc, ngf, dtype=dtype)
     if which_model_netG == "MixConvNeXtML":
         return MixConvNeXtML(dtype=dtype, remat=remat, inference=inference)
+    # Extension names (not reachable from the reference's dispatch —
+    # these rebuild its orphaned modules, see models/blocks_extra.py):
+    if which_model_netG == "unetpp":
+        from dsgan_tpu.models.blocks_extra import UnetPlusPlus
+
+        return UnetPlusPlus(output_nc, ngf, norm, dtype=dtype)
+    if which_model_netG == "wnet":
+        from dsgan_tpu.models.blocks_extra import WNet
+
+        return WNet(ngf, norm, dtype=dtype)
     raise NotImplementedError(
         f"Generator model name [{which_model_netG}] is not recognized"
     )

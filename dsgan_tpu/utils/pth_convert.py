@@ -354,6 +354,83 @@ def convert_gll_generator(path):
     return params
 
 
+def _cbam(sd, prefix):
+    """cbam_block params (reference networks.py:983-992)."""
+    return {
+        "channelattention": {
+            "fc1": _conv(sd, prefix + ".channelattention.fc1"),
+            "fc2": _conv(sd, prefix + ".channelattention.fc2"),
+            "relu1": _prelu(sd, prefix + ".channelattention.relu1"),
+        },
+        "spatialattention": {
+            "conv1": _conv(sd, prefix + ".spatialattention.conv1"),
+        },
+    }
+
+
+def convert_unetpp(path):
+    """Reference UnetPlusPlus (networks.py:995-1071) -> our
+    models.blocks_extra.UnetPlusPlus param tree. The reference's
+    conv1_4/att1_4 layers are dead (its forward reuses conv1_2/att1_2,
+    networks.py:1066-1067) — their keys are dropped; instance norms carry
+    no params."""
+    sd = _load_state_dict(path)
+
+    def convd(p):
+        return {"conv1": _conv_b(sd, p + ".ConvD.0"),
+                "conv2": _conv_b(sd, p + ".ConvD.4")}
+
+    def convn(p):
+        return {"conv1": _conv_b(sd, p + ".ConvN.0")}
+
+    def convu(p):
+        return {"deconv": _convt_b(sd, p + ".ConvU.0")}
+
+    params = {
+        "conv2_1": convd("conv2_1"), "att2_1": _cbam(sd, "att2_1"),
+        "conv3_1": convd("conv3_1"), "att3_1": _cbam(sd, "att3_1"),
+        "conv4_1": convd("conv4_1"), "att4_1": _cbam(sd, "att4_1"),
+        "conv4_2": convn("conv4_2"), "att4_2": _cbam(sd, "att4_2"),
+        "conv4_3": convu("conv4_3"), "att4_3": _cbam(sd, "att4_3"),
+        "conv3_2": convn("conv3_2"), "att3_2": _cbam(sd, "att3_2"),
+        "conv3_3": convu("conv3_3"), "att3_3": _cbam(sd, "att3_3"),
+        "conv2_2": convn("conv2_2"), "att2_2": _cbam(sd, "att2_2"),
+        "conv2_3": convu("conv2_3"), "att2_3": _cbam(sd, "att2_3"),
+        "conv1_2": convn("conv1_2"), "att1_2": _cbam(sd, "att1_2"),
+        "conv": _conv_b(sd, "conv"),
+    }
+    return params
+
+
+def convert_wnet(path, norm="batch"):
+    """Reference wnet (networks_wnet.py:4-51) -> (params, batch_stats)
+    for models.blocks_extra.WNet. The shared PReLU appears once per
+    Sequential in the state dict (all aliases of one tensor); any copy
+    supplies the single shared slope. With norm='batch' the BatchNorm2d
+    affine + running stats map into params / batch_stats; with
+    'instance' the norm carries nothing."""
+    sd = _load_state_dict(path)
+    stages = [
+        ("en_down_1_1", False), ("en_down_2_1", False), ("en_down_3_1", False),
+        ("en_up_2_2", True), ("en_up_1_2", True),
+        ("de_down_1_1", False), ("de_down_2_1", False), ("de_down_3_1", False),
+        ("de_up_2_2", True), ("de_up_1_2", True), ("de_up_1_3", False),
+    ]
+    params = {"activate": _prelu(sd, stages[0][0] + ".2")}
+    batch_stats = {}
+    for name, transposed in stages:
+        conv_key = name + ".0"
+        site = name + ("_deconv" if transposed else "_conv")
+        params[site] = (_convt_b if transposed else _conv_b)(sd, conv_key)
+        if norm == "batch":
+            nk = name + ".1"
+            params[name + "_norm"] = {"scale": sd[nk + ".weight"],
+                                      "bias": sd[nk + ".bias"]}
+            batch_stats[name + "_norm"] = {"mean": sd[nk + ".running_mean"],
+                                           "var": sd[nk + ".running_var"]}
+    return params, batch_stats
+
+
 def convert_inception(pth_path, npz_out):
     """Inception3 state_dict (torchvision inception_v3 OR the TF-ported
     FID weight file — same key schema) -> .npz consumed by
@@ -386,7 +463,8 @@ def load_params_npz(path):
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("kind",
-                    choices=["g", "d", "vgg", "inception", "resnet_g", "unet_g", "gll_g"],
+                    choices=["g", "d", "vgg", "inception", "resnet_g",
+                             "unet_g", "gll_g", "unetpp_g", "wnet"],
                     help="which network the .pth holds (g = MixConvNeXtML)")
     ap.add_argument("pth", help="input .pth (or pre-dumped .npz) path")
     ap.add_argument("out", help="output .npz path")
@@ -404,6 +482,11 @@ def main():
         save_params_npz(convert_unet_generator(args.pth), args.out)
     elif args.kind == "gll_g":
         save_params_npz(convert_gll_generator(args.pth), args.out)
+    elif args.kind == "unetpp_g":
+        save_params_npz(convert_unetpp(args.pth), args.out)
+    elif args.kind == "wnet":
+        params, batch_stats = convert_wnet(args.pth)
+        save_params_npz({"params": params, "batch_stats": batch_stats}, args.out)
     else:
         save_params_npz(convert_nlayer_discriminator(args.pth, args.n_layers), args.out)
     print(f"wrote {args.out}")
