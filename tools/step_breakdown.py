@@ -6,7 +6,10 @@ Timing method per memory notes: chain N dependent invocations through a
 scalar and fetch once (axon relay: block_until_ready returns early,
 ~30ms RTT per fetch).
 
-Env: BB_BATCH (16), BB_SIZE (256), BB_N (20), BB_GELU (exact|tanh).
+Env: BB_BATCH (16), BB_SIZE (256), BB_N (20), BB_GELU (exact|tanh),
+BB_ONLY=step to skip the per-component probes and run only the full
+fused step + its xprof device-time attribution (the component probes
+alone take ~8 compiles / ~7 min through the remote-compile relay).
 """
 
 import os
@@ -71,69 +74,72 @@ def main():
     AB = jnp.concatenate([A, B], axis=-1)
     AB2 = jnp.concatenate([AB, AB], axis=0)
 
-    # ---- G forward
-    def g_fwd(p, x):
-        return jnp.sum(g.apply({"params": p}, x).astype(jnp.float32))
+    only_step = os.environ.get("BB_ONLY", "") == "step"
 
-    tg = timed("G fwd", g_fwd, params_G, A)
-
-    # ---- G fwd + bwd (params grad)
-    def g_fb(p, x):
-        l, grads = jax.value_and_grad(g_fwd)(p, x)
-        return l + sum(jnp.sum(v.astype(jnp.float32)) * 0 for v in jax.tree_util.tree_leaves(grads))
-
-    tgb = timed("G fwd+bwd", g_fb, params_G, A)
-
-    # ---- D forward on 2*batch (the fused fake;real application)
-    def d_fwd(p, x):
-        return jnp.sum(d.apply({"params": p}, x).astype(jnp.float32))
-
-    td = timed("D fwd (2B)", d_fwd, params_D, AB2)
-
-    def d_fb(p, x):
-        l, grads = jax.value_and_grad(d_fwd)(p, x)
-        return l + sum(jnp.sum(v.astype(jnp.float32)) * 0 for v in jax.tree_util.tree_leaves(grads))
-
-    tdb = timed("D fwd+bwd (2B)", d_fb, params_D, AB2)
-
-    # ---- D fwd + grad wrt INPUT (the G-update path through D)
-    def d_input_grad(p, x):
-        def f(xx):
-            return jnp.sum(d.apply({"params": p}, xx).astype(jnp.float32))
-        l, gx = jax.value_and_grad(f)(x)
-        return l + jnp.sum(gx.astype(jnp.float32)) * 0
-
-    tdg = timed("D fwd+input-grad (B)", d_input_grad, params_D, AB)
-
-    # ---- VGG forward 2B + input grad on half
-    def vgg_fb(p, x):
-        def f(xx):
-            feats = vgg.apply(p, jnp.concatenate([xx, B], axis=0))
-            return sum(jnp.sum(jnp.abs(f_[:BATCH].astype(jnp.float32) - f_[BATCH:].astype(jnp.float32))) for f_ in feats[:4])
-        l, gx = jax.value_and_grad(f)(x)
-        return l + jnp.sum(gx.astype(jnp.float32)) * 0
-
-    tv = timed("VGG fwd(2B)+input-grad", vgg_fb, vgg_params, A)
-
-    # ---- SSIM loss + input grad
-    def ssim_fb(x):
-        def f(xx):
-            return ops.ssim_loss(B, xx)
-        l, gx = jax.value_and_grad(f)(x)
-        return l + jnp.sum(gx.astype(jnp.float32)) * 0
-
-    ts = timed("SSIM loss+input-grad", ssim_fb, A)
-
-    # ---- Adam update G
     adam = make_adam(0.5)
-    opt_G = adam.init(params_G)
+    if not only_step:
+        # ---- G forward
+        def g_fwd(p, x):
+            return jnp.sum(g.apply({"params": p}, x).astype(jnp.float32))
 
-    def adam_g(p, o):
-        upd, o2 = adam.update(p, o)  # params as fake grads — same shapes
-        s = sum(jnp.sum(v.astype(jnp.float32)) * 1e-30 for v in jax.tree_util.tree_leaves(upd))
-        return s + sum(jnp.sum(v.astype(jnp.float32)) * 1e-30 for v in jax.tree_util.tree_leaves(jax.tree_util.tree_leaves(o2)))
+        tg = timed("G fwd", g_fwd, params_G, A)
 
-    ta = timed("Adam dir (G params)", adam_g, params_G, opt_G)
+        # ---- G fwd + bwd (params grad)
+        def g_fb(p, x):
+            l, grads = jax.value_and_grad(g_fwd)(p, x)
+            return l + sum(jnp.sum(v.astype(jnp.float32)) * 0 for v in jax.tree_util.tree_leaves(grads))
+
+        tgb = timed("G fwd+bwd", g_fb, params_G, A)
+
+        # ---- D forward on 2*batch (the fused fake;real application)
+        def d_fwd(p, x):
+            return jnp.sum(d.apply({"params": p}, x).astype(jnp.float32))
+
+        td = timed("D fwd (2B)", d_fwd, params_D, AB2)
+
+        def d_fb(p, x):
+            l, grads = jax.value_and_grad(d_fwd)(p, x)
+            return l + sum(jnp.sum(v.astype(jnp.float32)) * 0 for v in jax.tree_util.tree_leaves(grads))
+
+        tdb = timed("D fwd+bwd (2B)", d_fb, params_D, AB2)
+
+        # ---- D fwd + grad wrt INPUT (the G-update path through D)
+        def d_input_grad(p, x):
+            def f(xx):
+                return jnp.sum(d.apply({"params": p}, xx).astype(jnp.float32))
+            l, gx = jax.value_and_grad(f)(x)
+            return l + jnp.sum(gx.astype(jnp.float32)) * 0
+
+        tdg = timed("D fwd+input-grad (B)", d_input_grad, params_D, AB)
+
+        # ---- VGG forward 2B + input grad on half
+        def vgg_fb(p, x):
+            def f(xx):
+                feats = vgg.apply(p, jnp.concatenate([xx, B], axis=0))
+                return sum(jnp.sum(jnp.abs(f_[:BATCH].astype(jnp.float32) - f_[BATCH:].astype(jnp.float32))) for f_ in feats[:4])
+            l, gx = jax.value_and_grad(f)(x)
+            return l + jnp.sum(gx.astype(jnp.float32)) * 0
+
+        tv = timed("VGG fwd(2B)+input-grad", vgg_fb, vgg_params, A)
+
+        # ---- SSIM loss + input grad
+        def ssim_fb(x):
+            def f(xx):
+                return ops.ssim_loss(B, xx)
+            l, gx = jax.value_and_grad(f)(x)
+            return l + jnp.sum(gx.astype(jnp.float32)) * 0
+
+        ts = timed("SSIM loss+input-grad", ssim_fb, A)
+
+        # ---- Adam update G
+        opt_G = adam.init(params_G)
+
+        def adam_g(p, o):
+            upd, o2 = adam.update(p, o)  # params as fake grads — same shapes
+            s = sum(jnp.sum(v.astype(jnp.float32)) * 1e-30 for v in jax.tree_util.tree_leaves(upd))
+            return s + sum(jnp.sum(v.astype(jnp.float32)) * 1e-30 for v in jax.tree_util.tree_leaves(jax.tree_util.tree_leaves(o2)))
+
+        ta = timed("Adam dir (G params)", adam_g, params_G, opt_G)
 
     # ---- full fused step
     cfg = Pix2PixConfig(pool_size=50, use_vgg=True, compute_dtype=jnp.bfloat16)
@@ -153,8 +159,9 @@ def main():
     float(np.asarray(metrics["loss_G"]))
     tf = (time.perf_counter() - t0) / N
     print(f"{'FULL STEP':34s} {tf*1e3:9.2f} ms   -> {BATCH/tf:7.1f} img/s", flush=True)
-    known = tgb + tdb + tdg + tv + ts + 2 * ta
-    print(f"{'sum of parts (approx)':34s} {known*1e3:9.2f} ms")
+    if not only_step:
+        known = tgb + tdb + tdg + tv + ts + 2 * ta
+        print(f"{'sum of parts (approx)':34s} {known*1e3:9.2f} ms")
 
     # xprof DEVICE time of the same chained sequence — separates real
     # on-chip time from relay dispatch overhead in the wall number above
