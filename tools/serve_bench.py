@@ -9,9 +9,12 @@ SERVE_STEPS=30, SERVE_DTYPE=bfloat16.
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
