@@ -91,9 +91,15 @@ def Conv(
 class LaneFixConv(nn.Module):
     """'same' stride-1 Conv2d whose dx is computed in space-to-depth
     packed form (ops.conv2d_lanefix) — for layers with a lane-starved
-    channel side (the flagship's 64->3 res conv). Parameter tree
-    ({kernel, bias}) is identical to the nn.Conv it replaces —
-    checkpoint-compatible."""
+    channel side. Parameter tree ({kernel, bias}) is identical to the
+    nn.Conv it replaces — checkpoint-compatible.
+
+    NOT used by any shipped model: the packed dx wins ~1.8 ms isolated
+    at the flagship's 64->3 res conv and VGG conv0, but LOSES ~1.9 ms in
+    the full fused step (device-time A/B 141.35 vs 139.46 ms) — the
+    pack/unpack reshapes block producer/consumer fusion. Kept, with its
+    op-level parity tests (tests/test_dw_s2d.py), as a measured closed
+    experiment (docs/PERF.md) and for genuinely isolated deployments."""
 
     features: int
     kernel: int = 3

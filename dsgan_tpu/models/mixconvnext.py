@@ -25,7 +25,7 @@ import flax.linen as nn
 
 from dsgan_tpu import ops
 from dsgan_tpu.models.layers import (
-    Conv, ConvTranspose, Dense, LaneFixConv, PReLU, gelu,
+    Conv, ConvTranspose, Dense, PReLU, gelu,
 )
 
 
@@ -432,7 +432,9 @@ class MixConvNeXtML(nn.Module):
 
         # -- local stream + fusion
         loc = OriginMLKA(dtype=dt, name="local")(x)
-        # LaneFixConv: 64->3 output conv, dx computed s2d-packed (the
-        # 3-channel cotangent otherwise runs the dx conv at ~2% MXU lanes)
-        out = LaneFixConv(3, 3, dtype=dt, name="res")(o4 + loc)
+        # plain conv, NOT ops.conv2d_lanefix: the s2d-packed dx wins 1.8 ms
+        # isolated but LOSES 1.9 ms in the full step (device 141.35 vs
+        # 139.46 ms A/B) — the packing reshapes block fusion. Closed
+        # experiment, docs/PERF.md.
+        out = Conv(3, 3, padding=1, dtype=dt, name="res")(o4 + loc)
         return out.astype(in_dtype)

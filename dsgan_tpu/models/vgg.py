@@ -21,7 +21,7 @@ import numpy as np
 import flax.linen as nn
 
 from dsgan_tpu import ops
-from dsgan_tpu.models.layers import Conv, LaneFixConv
+from dsgan_tpu.models.layers import Conv
 
 # torchvision vgg16.features conv layout: (out_channels, feature-index)
 VGG16_CONVS = [
@@ -50,15 +50,11 @@ class Vgg16Features(nn.Module):
         taps = []
         block_end = {1, 3, 6, 9, 12}
         for i, (ch, _) in enumerate(VGG16_CONVS):
-            if i == 0:
-                # conv0 consumes the 3-channel image: in the perceptual
-                # LOSS its dx (the gradient flowing back to the generator
-                # output) is a conv producing a 3-channel cotangent at
-                # ~2% MXU lane utilization — LaneFixConv computes that dx
-                # s2d-packed (ops.conv2d_lanefix). Same param tree.
-                h = LaneFixConv(ch, 3, dtype=self.dtype, name="conv0")(h)
-            else:
-                h = Conv(ch, 3, 1, 1, dtype=self.dtype, name=f"conv{i}")(h)
+            # conv0's dx (3-channel cotangent, ~2% MXU lanes) looked like a
+            # LaneFixConv candidate; the s2d-packed dx wins isolated but
+            # loses in the full step (closed experiment, docs/PERF.md) —
+            # plain convs throughout.
+            h = Conv(ch, 3, 1, 1, dtype=self.dtype, name=f"conv{i}")(h)
             h = nn.relu(h)
             if i in block_end:
                 taps.append(h.astype(in_dtype))

@@ -97,9 +97,9 @@ def test_export_cli_after_training(tmp_path):
 
 
 def test_flagship_generator_exports(tmp_path):
-    """MixConvNeXtML contains custom-VJP ops (conv2d_lanefix) and the
-    s2d-packed dw convs — the export path must lower their FORWARDS to
-    plain StableHLO and round-trip exactly."""
+    """MixConvNeXtML contains custom-VJP ops (the s2d-packed dw convs) —
+    the export path must lower their FORWARDS to plain StableHLO and
+    round-trip exactly."""
     import jax
     import jax.numpy as jnp
 
