@@ -86,14 +86,30 @@ def restore_state(save_dir, epoch, target_pytree):
 
 
 def restore_untyped(save_dir, epoch):
-    """Restore as plain nested dicts (no target) — used by inference-only
-    loads that pick the generator params out of a full train checkpoint."""
+    """Restore as plain nested dicts of HOST numpy arrays (no target) —
+    used by inference-only loads that pick the generator params out of a
+    full train checkpoint.
+
+    The leaves are restored as np.ndarray explicitly: a bare
+    ``restore(path)`` asks orbax to deserialize onto the default device
+    without a sharding, which works on CPU but fails on accelerator
+    backends ("sharding passed to deserialization should be specified" —
+    hit when evaluating a checkpoint on TPU). Host numpy is also the
+    right type here: the consumer jits the params onto the device (or
+    mesh) itself."""
+    import jax
+    import numpy as np
+
     wait_for_saves()
     path = _epoch_dir(save_dir, epoch)
     if not os.path.isdir(path):
         raise FileNotFoundError(f"checkpoint not found: {path}")
     with ocp.PyTreeCheckpointer() as ckptr:
-        return ckptr.restore(path)
+        meta = ckptr.metadata(path).item_metadata
+        restore_args = jax.tree_util.tree_map(
+            lambda _: ocp.RestoreArgs(restore_type=np.ndarray), meta
+        )
+        return ckptr.restore(path, args=ocp.args.PyTreeRestore(restore_args=restore_args))
 
 
 def latest_epoch(save_dir):

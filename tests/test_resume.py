@@ -86,3 +86,26 @@ def test_keep_latest_retention(tmp_path):
     assert ckpt.latest_epoch(str(tmp_path)) == 5
     ckpt.keep_latest(str(tmp_path), 0, keep_none_ok=True)
     assert ckpt.latest_epoch(str(tmp_path)) is None
+
+
+def test_restore_untyped_returns_host_numpy(tmp_path):
+    """restore_untyped must restore leaves as HOST numpy with explicit
+    RestoreArgs: a bare orbax restore(path) deserializes onto the default
+    device WITHOUT a sharding, which works on CPU but fails on
+    accelerator backends ('sharding passed to deserialization should be
+    specified ... Got None' — hit evaluating a checkpoint on TPU)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from dsgan_tpu.utils import checkpoint as ckpt
+
+    tree = {"params_G": {"w": jnp.arange(6, dtype=jnp.float32).reshape(2, 3)},
+            "step": jnp.int32(7)}
+    ckpt.save_state(str(tmp_path), 1, tree, async_save=False)
+    got = ckpt.restore_untyped(str(tmp_path), 1)
+    import jax
+
+    leaves = jax.tree_util.tree_leaves(got)
+    assert all(isinstance(l, np.ndarray) for l in leaves)
+    np.testing.assert_allclose(
+        got["params_G"]["w"], np.arange(6, dtype=np.float32).reshape(2, 3))
+    assert int(got["step"]) == 7
