@@ -234,3 +234,17 @@ def test_get_img_helpers_and_eval(tmp_path):
 
     m.eval()
     assert m.is_eval
+
+
+def test_direction_btoa_swaps_inputs(tmp_path):
+    """--which_direction BtoA trains B->A (reference set_input swap,
+    pix2pix_model.py:129-135): with distinguishable domains, the model's
+    real_A/real_B placement must follow the flag."""
+    m = make_model(tmp_path, which_direction="BtoA")
+    rng = np.random.default_rng(0)
+    data = batch(rng)
+    m.set_input(data)
+    np.testing.assert_allclose(np.asarray(m.real_A), data["B"], atol=0)
+    np.testing.assert_allclose(np.asarray(m.real_B), data["A"], atol=0)
+    m.optimize_parameters()  # the swapped batch must train end-to-end
+    assert np.isfinite(float(np.asarray(m._metrics["loss_G"])))
