@@ -29,16 +29,31 @@ import sys
 import numpy as np
 
 
-def _serving_fn(netG, variables, uint8_io):
+def _serving_fn(netG, variables, uint8_io, quantize=None):
     """Close the generator over its params: x -> image, optionally with
-    the uint8 de/quantization fused in."""
+    the uint8 de/quantization fused in. quantize="w8" bakes the weights
+    as per-channel int8 constants dequantized at use (dsgan_tpu/quant.py) —
+    the exported blob then carries int8 weight payloads."""
     import jax.numpy as jnp
 
     from dsgan_tpu import ops
     from dsgan_tpu.models.pix2pix import _apply_net
 
+    if quantize == "w8":
+        from dsgan_tpu.quant import dequantize_params, quantize_params
+
+        qparams = quantize_params(variables["params"])
+
+        def get_params():
+            return dequantize_params(qparams)
+    elif quantize:
+        raise ValueError(f"unknown quantize mode {quantize!r} (only 'w8')")
+    else:
+        def get_params():
+            return variables["params"]
+
     def fn(x):
-        y = _apply_net(netG, variables["params"], ops.normalize_u8(x), False,
+        y = _apply_net(netG, get_params(), ops.normalize_u8(x), False,
                        stats=variables.get("batch_stats"))
         if uint8_io:
             y = ops.metrics.quantize_uint8(y).astype(jnp.uint8)
@@ -48,7 +63,8 @@ def _serving_fn(netG, variables, uint8_io):
 
 
 def export_generator(netG, variables, height, width, input_nc,
-                     batch=None, platforms=("tpu", "cpu"), uint8_io=True):
+                     batch=None, platforms=("tpu", "cpu"), uint8_io=True,
+                     quantize=None):
     """Serialize the generator to StableHLO bytes.
 
     batch=None attempts a symbolic (any-batch) export and falls back to
@@ -58,7 +74,7 @@ def export_generator(netG, variables, height, width, input_nc,
     import jax
     from jax import export as jx
 
-    fn = jax.jit(_serving_fn(netG, variables, uint8_io))
+    fn = jax.jit(_serving_fn(netG, variables, uint8_io, quantize))
     in_dtype = np.uint8 if uint8_io else np.float32
 
     def spec(b):
@@ -84,6 +100,7 @@ def export_generator(netG, variables, height, width, input_nc,
         "height": height, "width": width, "input_nc": input_nc,
         "platforms": list(platforms),
         "uint8_io": bool(uint8_io),
+        "quantize": quantize or "none",
     }
     return blob, meta
 
@@ -127,6 +144,12 @@ def main(argv=None, dataset_path=None, out_path=None):
     pre.add_argument("--platforms", type=str, default="tpu,cpu")
     pre.add_argument("--float_io", action="store_true",
                      help="export the float [-1,1] contract instead of uint8")
+    pre.add_argument("--quantize", type=str, default="", choices=["", "w8"],
+                     help="w8: per-channel int8 weights baked into the "
+                          "artifact, dequantized at use (halves blob size)")
+    pre.add_argument("--quant_tol", type=float, default=0.0,
+                     help="fail the export if SSIM(quantized, float) on the "
+                          "probe batch drops below this (0 = report only)")
     ex, rest = pre.parse_known_args(argv)
     opt = parser_holder.parse(dataset_path, out_path, rest)
 
@@ -159,10 +182,38 @@ def main(argv=None, dataset_path=None, out_path=None):
         batch=ex.export_batch or None,
         platforms=tuple(ex.platforms.split(",")),
         uint8_io=not ex.float_io,
+        quantize=ex.quantize or None,
     )
+    if ex.quantize:
+        meta["quant_gate"] = _quant_gate(netG, variables, opt, ex)
     path = save_artifact(ex.out, blob, meta)
     print(f"exported {len(blob) / 1e6:.1f} MB artifact to {path}")
     print(json.dumps(meta))
+
+
+def _quant_gate(netG, variables, opt, ex):
+    """Quality gate: run the float and quantized serving graphs on a probe
+    batch, report SSIM/PSNR between them, and (with --quant_tol) fail the
+    export if quantization moved the outputs too far."""
+    import jax
+    import numpy as np
+
+    from dsgan_tpu import ops
+
+    rng = np.random.default_rng(0)
+    x = rng.integers(0, 256, (1, opt.fineSize_h, opt.fineSize_w,
+                              opt.input_nc), dtype=np.uint8)
+    f_ref = jax.jit(_serving_fn(netG, variables, uint8_io=True))
+    f_q = jax.jit(_serving_fn(netG, variables, uint8_io=True, quantize="w8"))
+    a, b = np.asarray(f_ref(x)), np.asarray(f_q(x))
+    s = float(ops.ssim_uint8(a, b))
+    p = float(ops.psnr_uint8(a, b))
+    print(f"quant gate: SSIM(w8, float) = {s:.4f}  PSNR = {p:.2f} dB"
+          f"  (tol {ex.quant_tol})")
+    if ex.quant_tol and s < ex.quant_tol:
+        raise SystemExit(f"--quantize w8 failed the quality gate: "
+                         f"SSIM {s:.4f} < --quant_tol {ex.quant_tol}")
+    return {"ssim": s, "psnr": p}
 
 
 if __name__ == "__main__":
