@@ -228,17 +228,44 @@ class UpBlock(nn.Module):
 
 class DownProject(nn.Module):
     """One downSkip projection (MixConvNeXtML.py:328-426): maxpool(scale)
-    -> 1x1 conv (no bias) -> IN -> GELU."""
+    -> 1x1 conv (no bias) -> IN -> GELU.
+
+    pool=False takes an already-pooled input (the cascaded pyramid below)
+    — the parameter tree is identical either way (pooling is param-free)."""
 
     features: int
     scale: int
     dtype: Any = None
+    pool: bool = True
 
     @nn.compact
     def __call__(self, x):
-        h = ops.max_pool2d(x, self.scale)
+        h = ops.max_pool2d(x, self.scale) if self.pool else x
         h = Conv(self.features, 1, bias=False, dtype=self.dtype, name="proj")(h)
         return gelu(ops.instance_norm(h))
+
+
+def _pool_cascade_enabled():
+    import os
+
+    return os.environ.get("DSGAN_POOL_CASCADE", "1") == "1"
+
+
+def _pool_pyramid(x, max_scale):
+    """Cascaded disjoint-window max pyramid: pyr[s] == max_pool2d(x, s)
+    elementwise (max over non-overlapping windows composes exactly; only
+    argmax tie-breaking in the gradient can differ). The whole family
+    costs one full-res pass plus a geometric tail, and — the real win —
+    the backward runs ONE select_and_scatter per level instead of one
+    full-res select_and_scatter per consumer: the four down64_to* pools
+    alone spent ~3.4 ms/step of select_and_scatter before this
+    (xprof attribution, docs/PERF.md)."""
+    pyr = {1: x}
+    s = 1
+    while s < max_scale:
+        pyr[2 * s] = ops.max_pool2d(pyr[s], 2)
+        s *= 2
+    return pyr
 
 
 class _DWParams(nn.Module):
@@ -391,28 +418,35 @@ class MixConvNeXtML(nn.Module):
         _B = nn.remat(ConvNeXtBlock) if self.remat else ConvNeXtBlock
         Block = _ft.partial(_B, inference=self.inference)
 
-        # -- global stream encoder
-        r1 = Block(64, dtype=dt, name="c1")(x)
-        r2 = Block(128, dtype=dt, name="c2")(ops.max_pool2d(r1, 2))
-        r3 = Block(256, dtype=dt, name="c3")(ops.max_pool2d(r2, 2))
-        r4 = Block(512, dtype=dt, name="c4")(ops.max_pool2d(r3, 2))
-        r5 = Block(1024, dtype=dt, name="c5")(ops.max_pool2d(r4, 2))
+        # -- global stream encoder + dense cross-scale skips (the downSkip
+        # family projects every encoder level to every deeper decoder
+        # scale). Each encoder level's pools — the stride-2 encoder pool
+        # AND all its downSkip pools — share one cascaded max pyramid
+        # (_pool_pyramid): same values, one select_and_scatter per level
+        # in the backward instead of one per consumer.
+        cas = _pool_cascade_enabled()
 
-        # -- dense cross-scale skips: project every encoder level to every
-        # deeper decoder input resolution/width and sum (downSkip family).
-        d64 = [
-            DownProject(c, s, dtype=dt, name=f"down64_to{s}")(r1)
-            for c, s in ((128, 2), (256, 4), (512, 8), (1024, 16))
-        ]
-        d128 = [
-            DownProject(c, s, dtype=dt, name=f"down128_to{s}")(r2)
-            for c, s in ((256, 2), (512, 4), (1024, 8))
-        ]
-        d256 = [
-            DownProject(c, s, dtype=dt, name=f"down256_to{s}")(r3)
-            for c, s in ((512, 2), (1024, 4))
-        ]
-        d512 = [DownProject(1024, 2, dtype=dt, name="down512_to2")(r4)]
+        def _skips(r, pyramid_max, name, specs):
+            pyr = _pool_pyramid(r, pyramid_max) if cas else None
+            d = [
+                DownProject(c, s, dtype=dt, pool=not cas,
+                            name=f"{name}_to{s}")(pyr[s] if cas else r)
+                for c, s in specs
+            ]
+            pooled2 = pyr[2] if cas else ops.max_pool2d(r, 2)
+            return d, pooled2
+
+        r1 = Block(64, dtype=dt, name="c1")(x)
+        d64, p1 = _skips(r1, 16, "down64",
+                         ((128, 2), (256, 4), (512, 8), (1024, 16)))
+        r2 = Block(128, dtype=dt, name="c2")(p1)
+        d128, p2 = _skips(r2, 8, "down128",
+                          ((256, 2), (512, 4), (1024, 8)))
+        r3 = Block(256, dtype=dt, name="c3")(p2)
+        d256, p3 = _skips(r3, 4, "down256", ((512, 2), (1024, 4)))
+        r4 = Block(512, dtype=dt, name="c4")(p3)
+        d512, p4 = _skips(r4, 2, "down512", ((1024, 2),))
+        r5 = Block(1024, dtype=dt, name="c5")(p4)
 
         # -- decoder with skip fusion: UpBlock hands the (upsampled, skip)
         # pair to the two-input ConvNeXtBlock unconcatenated — on the fused
