@@ -331,6 +331,12 @@ class MidMLKA(nn.Module):
                 # (measured 6.5 ms vs 1.14 ms at 128ch/128^2/b16 on v5e).
                 wk, bk = _jax.lax.optimization_barrier((wk, bk))
                 out = _ops.conv2d(x, wk, bk, stride=1, padding=kmax // 2, groups=dim)
+                # NOTE (r3, measured): an optimization_barrier on `out`
+                # (to keep the tail out of the conv thunk) is NEUTRAL
+                # in-step (132.74 vs 132.84 ms device) — the bank conv's
+                # in-step excess vs its isolated cost (6.4 vs 2.5 ms at
+                # upc3) is memory-space/scheduling, not output fusion.
+                # See docs/PERF.md "closed experiments".
         else:
             xs = jnp.split(x, 4, axis=-1)
             outs = []
