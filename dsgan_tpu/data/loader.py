@@ -72,16 +72,29 @@ class CustomDatasetDataLoader:
     def __iter__(self):
         q = queue.Queue(maxsize=4)
         sentinel = object()
+        stop = threading.Event()  # consumer gone (early break / GC): don't
+        #                           block on q.put forever, release the pool
 
         use_native = (
             getattr(self.opt, "native_loader", "auto") != "off"
             and hasattr(self.dataset, "native_batch")
         )
 
+        def _put(item):
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def produce():
             nonlocal use_native
             with ThreadPoolExecutor(self.num_workers) as pool:
                 for idx in self._batches_of_indices():
+                    if stop.is_set():
+                        return
                     batch = None
                     if use_native:
                         batch = self.dataset.native_batch(idx.tolist(), self.num_workers)
@@ -96,16 +109,20 @@ class CustomDatasetDataLoader:
                                 batch[key] = np.stack(vals)
                             else:
                                 batch[key] = vals
-                    q.put(batch)
-            q.put(sentinel)
+                    if not _put(batch):
+                        return
+            _put(sentinel)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                yield item
+        finally:
+            stop.set()
 
 
 def CreateDataLoader(opt, phase):

@@ -123,8 +123,8 @@ def main(argv=None, dataset_path=None, out_path=None):
     print(f"wrote {len(rows)} results to {web_dir}")
     if rows and "ssim" in rows[0]:
         line = "mean SSIM: %.4f  mean PSNR: %.3f" % (
-            float(np.mean([r["ssim"] for r in rows])),
-            float(np.mean([r["psnr"] for r in rows])),
+            float(np.mean([r["ssim"] for r in rows if "ssim" in r])),
+            float(np.mean([r["psnr"] for r in rows if "psnr" in r])),
         )
         ms_vals = [r["ms_ssim"] for r in rows if "ms_ssim" in r]
         if ms_vals:

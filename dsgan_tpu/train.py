@@ -25,6 +25,19 @@ from dsgan_tpu.options.train_options import TrainOptions
 from dsgan_tpu.utils.visualizer import Visualizer
 
 
+def _drain(hist, start):
+    """Fetch pending lazy device scalars to host floats, in place.
+
+    Each un-fetched scalar costs one D2H round trip (expensive through a
+    relay-attached TPU), so the epoch histories are drained incrementally:
+    every print fetches only the entries added since the last print —
+    O(print_freq) per print instead of re-fetching the whole history,
+    which would grow O(epoch) per print over a long epoch."""
+    for j in range(start, len(hist)):
+        hist[j] = float(np.asarray(hist[j]))
+    return len(hist)
+
+
 def main(argv=None, dataset_path=None, out_path=None):
     opt = TrainOptions().parse(dataset_path, out_path, argv)
     if getattr(opt, "debug_nans", False):
@@ -65,6 +78,7 @@ def main(argv=None, dataset_path=None, out_path=None):
         epoch_start_time = time.time()
         iter_data_time = time.time()
         ssim_hist, psnr_hist = [], []
+        n_fetched_s = n_fetched_p = 0
         epoch_iter = 0
         t_data = 0.0
 
@@ -105,8 +119,10 @@ def main(argv=None, dataset_path=None, out_path=None):
                 bar.update(1)
 
             if (i + 1) % output_freq == 0:
-                ssim_avg = float(np.mean([np.asarray(s) for s in ssim_hist])) if ssim_hist else 0.0
-                psnr_avg = float(np.mean([np.asarray(p) for p in psnr_hist])) if psnr_hist else 0.0
+                n_fetched_s = _drain(ssim_hist, n_fetched_s)
+                n_fetched_p = _drain(psnr_hist, n_fetched_p)
+                ssim_avg = float(np.mean(ssim_hist)) if ssim_hist else 0.0
+                psnr_avg = float(np.mean(psnr_hist)) if psnr_hist else 0.0
                 losses = model.get_current_losses()
                 if getattr(opt, "detect_anomaly", 0):
                     model.check_anomaly(f"epoch {epoch} iter {i + 1}")
@@ -133,8 +149,10 @@ def main(argv=None, dataset_path=None, out_path=None):
         if bar:
             bar.close()
 
-        ssim_avg = float(np.mean([np.asarray(s) for s in ssim_hist])) if ssim_hist else 0.0
-        psnr_avg = float(np.mean([np.asarray(p) for p in psnr_hist])) if psnr_hist else 0.0
+        _drain(ssim_hist, n_fetched_s)
+        _drain(psnr_hist, n_fetched_p)
+        ssim_avg = float(np.mean(ssim_hist)) if ssim_hist else 0.0
+        psnr_avg = float(np.mean(psnr_hist)) if psnr_hist else 0.0
         with open(os.path.join(result_path, "each_epoch.csv"), "a", newline="") as f:
             csv.writer(f).writerow([epoch, "train", ssim_avg, psnr_avg])
 
