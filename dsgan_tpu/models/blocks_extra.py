@@ -10,10 +10,13 @@ classes (tests/test_blocks_extra.py), and exposed through define_G under
 the extension names ``unetpp`` and ``wnet`` (documented as extensions —
 the reference's dispatch cannot reach them).
 
-ConvC_Block (networks.py:926-946) is NOT rebuilt: it is broken by
-construction — it concatenates k1/k3/k5/k7 conv outputs that all use
+ConvC_Block (networks.py:926-946) is broken by construction in the
+reference — it concatenates k1/k3/k5/k7 conv outputs that all use
 padding=1 and therefore have four different spatial sizes (verified to
-raise in torch). Rebuilding a guaranteed crash is not a capability.
+raise in torch; tests/test_blocks_extra.py). ``ConvCBlock`` below
+rebuilds the evident intent: 'same' padding (k//2) per branch so the
+concat is well-formed; everything else (four parallel convs, channel
+concat, norm, LeakyReLU) is the reference computation.
 
 Reference quirks kept for parity:
 * UnetPlusPlus's forward applies conv1_2/att1_2 twice and never uses its
@@ -143,6 +146,31 @@ class ConvUBlock(nn.Module):
     def __call__(self, x, train: bool = True):
         h = ConvTranspose(self.out_channels, 4, 2, 1, 0, dtype=self.dtype,
                           name="deconv")(x)
+        h = Norm(self.norm, name="norm1")(h, train)
+        return leaky_relu(h, 0.01)
+
+
+class ConvCBlock(nn.Module):
+    """ConvC_Block (networks.py:926-946), repaired: four parallel convs
+    k1/k3/k5/k7 -> channel concat (4*out_channels) -> norm -> lrelu.
+
+    The reference gives every branch padding=1, so the branch outputs are
+    H+2/H/H-2/H-4 and the concat raises — dead code that could never have
+    run. The repair is the minimal one: 'same' padding (k//2) per branch,
+    which is the only choice that makes the written concat well-formed."""
+
+    out_channels: int
+    norm: str = "instance"
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        outs = [
+            Conv(self.out_channels, k, padding=k // 2, dtype=self.dtype,
+                 name=f"conv{k}")(x)
+            for k in (1, 3, 5, 7)
+        ]
+        h = jnp.concatenate(outs, axis=-1)
         h = Norm(self.norm, name="norm1")(h, train)
         return leaky_relu(h, 0.01)
 

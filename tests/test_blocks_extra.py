@@ -196,3 +196,43 @@ def test_define_g_extension_names(name):
     v = init_params(g, jax.random.PRNGKey(0), (1, 32, 32, 3), "normal")
     y = g.apply(v, jnp.zeros((2, 32, 32, 3)), train=False)
     assert y.shape == (2, 32, 32, 3)
+
+
+def test_convc_block_reference_is_broken_and_repair_matches_intent():
+    """The reference ConvC_Block (networks.py:926-946) pads every branch
+    by 1, so the k1/k3/k5/k7 outputs have four different spatial sizes and
+    the concat raises — dead code that could never have run. Our
+    ConvCBlock repairs it with 'same' padding; parity is checked against a
+    torch oracle using the REFERENCE module's own weights and norm tail,
+    only the paddings corrected."""
+    import torch.nn.functional as F
+
+    ref = _import_ref_networks()
+    tm = _randomize(ref.ConvC_Block(8, 4), seed=7)
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(2, 8, 12, 12)).astype(np.float32)
+
+    with pytest.raises(RuntimeError):
+        with torch.no_grad():
+            tm(torch.from_numpy(x))
+
+    with torch.no_grad():
+        xt = torch.from_numpy(x)
+        outs = [
+            F.conv2d(xt, getattr(tm, f"Conv{k}").weight,
+                     getattr(tm, f"Conv{k}").bias, padding=k // 2)
+            for k in (1, 3, 5, 7)
+        ]
+        want = tm.ConvC(torch.cat(outs, 1)).numpy()
+
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    from dsgan_tpu.utils.pth_convert import _conv_b
+
+    params = jax.tree_util.tree_map(
+        jnp.asarray, {f"conv{k}": _conv_b(sd, f"Conv{k}") for k in (1, 3, 5, 7)}
+    )
+    from dsgan_tpu.models.blocks_extra import ConvCBlock
+
+    got = np.asarray(ConvCBlock(4, dtype=None).apply(
+        {"params": params}, jnp.asarray(_nhwc(x)), train=False))
+    np.testing.assert_allclose(got, _nhwc(want), rtol=1e-4, atol=1e-5)
