@@ -91,26 +91,32 @@ class CustomDatasetDataLoader:
 
         def produce():
             nonlocal use_native
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                for idx in self._batches_of_indices():
-                    if stop.is_set():
-                        return
-                    batch = None
-                    if use_native:
-                        batch = self.dataset.native_batch(idx.tolist(), self.num_workers)
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for idx in self._batches_of_indices():
+                        if stop.is_set():
+                            return
+                        batch = None
+                        if use_native:
+                            batch = self.dataset.native_batch(idx.tolist(), self.num_workers)
+                            if batch is None:
+                                use_native = False  # fall back permanently
                         if batch is None:
-                            use_native = False  # fall back permanently
-                    if batch is None:
-                        items = list(pool.map(self.dataset.__getitem__, idx.tolist()))
-                        batch = {}
-                        for key in items[0]:
-                            vals = [it[key] for it in items]
-                            if isinstance(vals[0], np.ndarray):
-                                batch[key] = np.stack(vals)
-                            else:
-                                batch[key] = vals
-                    if not _put(batch):
-                        return
+                            items = list(pool.map(self.dataset.__getitem__, idx.tolist()))
+                            batch = {}
+                            for key in items[0]:
+                                vals = [it[key] for it in items]
+                                if isinstance(vals[0], np.ndarray):
+                                    batch[key] = np.stack(vals)
+                                else:
+                                    batch[key] = vals
+                        if not _put(batch):
+                            return
+            except BaseException as e:  # decode error etc.: the consumer
+                #  must see it — dying silently would leave it blocked on
+                #  q.get() forever (the sentinel would never be posted)
+                _put(e)
+                return
             _put(sentinel)
 
         t = threading.Thread(target=produce, daemon=True)
@@ -120,6 +126,8 @@ class CustomDatasetDataLoader:
                 item = q.get()
                 if item is sentinel:
                     break
+                if isinstance(item, BaseException):
+                    raise item
                 yield item
         finally:
             stop.set()

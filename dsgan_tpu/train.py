@@ -32,9 +32,19 @@ def _drain(hist, start):
     relay-attached TPU), so the epoch histories are drained incrementally:
     every print fetches only the entries added since the last print —
     O(print_freq) per print instead of re-fetching the whole history,
-    which would grow O(epoch) per print over a long epoch."""
-    for j in range(start, len(hist)):
-        hist[j] = float(np.asarray(hist[j]))
+    which would grow O(epoch) per print over a long epoch. The pending
+    slice is fetched as ONE transfer (stack on device, single D2H); the
+    per-item path is the fallback for mixed host/device histories."""
+    pending = hist[start:]
+    if pending:
+        try:
+            import jax.numpy as jnp
+
+            vals = np.asarray(jnp.stack(pending))
+            hist[start:] = [float(v) for v in vals]
+        except TypeError:
+            for j in range(start, len(hist)):
+                hist[j] = float(np.asarray(hist[j]))
     return len(hist)
 
 

@@ -26,10 +26,10 @@ class _FakeDataset:
         return {"A": np.full((4, 4, 3), i, np.float32), "A_paths": f"p{i}"}
 
 
-def _loader(monkeypatch, **kw):
+def _loader(monkeypatch, ds_cls=_FakeDataset, **kw):
     from dsgan_tpu.data import loader as L
 
-    monkeypatch.setattr(L, "CreateDataset", lambda opt, rng=None: _FakeDataset())
+    monkeypatch.setattr(L, "CreateDataset", lambda opt, rng=None: ds_cls())
     opt = types.SimpleNamespace(
         batchSize=kw.get("batchSize", 4), seed=0, nThreads=2,
         max_dataset_size=float("inf"), native_loader="off",
@@ -70,3 +70,20 @@ def test_eval_phase_keeps_ragged_tail(monkeypatch):
     dl = _loader(monkeypatch, batchSize=5, phase="test")
     sizes = [b["A"].shape[0] for b in dl]
     assert sizes == [5, 5, 5, 1]  # no drop_last outside training
+
+
+def test_producer_exception_propagates(monkeypatch):
+    """A decode error in the prefetch thread must surface in the consumer
+    (not leave it blocked forever waiting for a sentinel that never comes)."""
+    import pytest
+
+    class _Broken(_FakeDataset):
+        def __getitem__(self, i):
+            if i == 6:
+                raise OSError("corrupt image")
+            return super().__getitem__(i)
+
+    dl = _loader(monkeypatch, ds_cls=_Broken)
+    with pytest.raises(OSError, match="corrupt image"):
+        for _ in dl:
+            pass
