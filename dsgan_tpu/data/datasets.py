@@ -21,6 +21,21 @@ def _open_rgb(path):
     return Image.open(path).convert("RGB")
 
 
+def _item_rng(seed, serial):
+    """Per-item Generator derived from (--seed, item serial).
+
+    The loader fetches items on a thread pool; drawing augmentation
+    randomness from one shared Generator there makes the stream depend on
+    thread scheduling (each call is lock-protected but the ORDER isn't),
+    so --seed would not actually pin the augmentations for nThreads > 1.
+    With a serial assigned sequentially by the producer, each item's
+    randomness is a pure function of its position in the epoch stream —
+    deterministic for any thread count, and identical between the Python
+    and native C++ paths (torch answers this with per-worker seeding,
+    data/__init__.py's DataLoader; this is the thread-pool equivalent)."""
+    return np.random.default_rng(np.random.SeedSequence([int(seed), int(serial)]))
+
+
 class AlignedDataset:
     def initialize(self, opt, rng=None):
         self.opt = opt
@@ -28,9 +43,11 @@ class AlignedDataset:
         self.A_paths, self.B_paths = make_dataset(self.dir_AB)
         assert opt.resize_or_crop == "resize_and_crop"
         self.rng = rng or np.random.default_rng(getattr(opt, "seed", 20))
+        self._seed = getattr(opt, "seed", 20)
 
-    def __getitem__(self, index):
+    def __getitem__(self, index, serial=None):
         opt = self.opt
+        rng = _item_rng(self._seed, serial) if serial is not None else self.rng
         A_path = self.A_paths[index]
         B_path = self.B_paths[index]
 
@@ -46,12 +63,12 @@ class AlignedDataset:
 
         w_off_max = max(0, opt.loadSize_w - opt.fineSize_w - 1)
         h_off_max = max(0, opt.loadSize_h - opt.fineSize_h - 1)
-        w_off = int(self.rng.integers(0, w_off_max + 1))
-        h_off = int(self.rng.integers(0, h_off_max + 1))
+        w_off = int(rng.integers(0, w_off_max + 1))
+        h_off = int(rng.integers(0, h_off_max + 1))
         A = T.crop(A, h_off, w_off, opt.fineSize_h, opt.fineSize_w)
         B = T.crop(B, h_off, w_off, opt.fineSize_h, opt.fineSize_w)
 
-        if (not opt.no_flip) and self.rng.random() < 0.5:
+        if (not opt.no_flip) and rng.random() < 0.5:
             A = T.hflip(A)
             B = T.hflip(B)
 
@@ -76,12 +93,14 @@ class AlignedDataset:
     def name(self):
         return "AlignedDataset"
 
-    def native_batch(self, indices, num_threads=4):
+    def native_batch(self, indices, num_threads=4, serials=None):
         """Batch fast path through the C++ runtime (decode+crop+flip+
-        normalize in native threads). Same augmentation distribution as
-        __getitem__; joint offsets/flip per A/B pair. Returns None when
-        the native runtime is unavailable or the recipe needs the
-        Python path (grayscale conversion)."""
+        normalize in native threads). Joint offsets/flip per A/B pair.
+        With ``serials`` the per-item draws replay __getitem__'s exact
+        (w, h, flip) order from the same per-item rng, so the native and
+        Python paths produce BIT-IDENTICAL augmentation streams. Returns
+        None when the native runtime is unavailable or the recipe needs
+        the Python path (grayscale conversion)."""
         opt = self.opt
         input_nc = opt.output_nc if opt.which_direction == "BtoA" else opt.input_nc
         output_nc = opt.input_nc if opt.which_direction == "BtoA" else opt.output_nc
@@ -94,12 +113,23 @@ class AlignedDataset:
         n = len(indices)
         h_max = max(0, opt.loadSize_h - opt.fineSize_h - 1)
         w_max = max(0, opt.loadSize_w - opt.fineSize_w - 1)
-        oy = self.rng.integers(0, h_max + 1, n)
-        ox = self.rng.integers(0, w_max + 1, n)
-        flips = (
-            (self.rng.random(n) < 0.5).astype(np.int32)
-            if not opt.no_flip else np.zeros(n, np.int32)
-        )
+        if serials is not None:
+            oy = np.zeros(n, np.int64)
+            ox = np.zeros(n, np.int64)
+            flips = np.zeros(n, np.int32)
+            for j, s in enumerate(serials):
+                r = _item_rng(self._seed, s)
+                ox[j] = r.integers(0, w_max + 1)
+                oy[j] = r.integers(0, h_max + 1)
+                if not opt.no_flip:
+                    flips[j] = int(r.random() < 0.5)
+        else:
+            oy = self.rng.integers(0, h_max + 1, n)
+            ox = self.rng.integers(0, w_max + 1, n)
+            flips = (
+                (self.rng.random(n) < 0.5).astype(np.int32)
+                if not opt.no_flip else np.zeros(n, np.int32)
+            )
         a_paths = [self.A_paths[i] for i in indices]
         b_paths = [self.B_paths[i] for i in indices]
         # uint8 out of the native path too: normalize runs on device
@@ -121,20 +151,22 @@ class UnalignedDataset:
         self.A_size = len(self.A_paths)
         self.B_size = len(self.B_paths)
         self.rng = rng or np.random.default_rng(getattr(opt, "seed", 20))
+        self._seed = getattr(opt, "seed", 20)
         # uint8 host pipeline when no side needs the (f32) luma mix —
         # normalize runs on device, bit-identically (see AlignedDataset)
         self._u8 = opt.input_nc == 3 and opt.output_nc == 3
         self.transform = T.get_transform(opt, self.rng, uint8=self._u8)
 
-    def __getitem__(self, index):
+    def __getitem__(self, index, serial=None):
+        rng = _item_rng(self._seed, serial) if serial is not None else self.rng
         A_path = self.A_paths[index % self.A_size]
         if self.opt.serial_batches:
             index_B = index % self.B_size
         else:
-            index_B = int(self.rng.integers(0, self.B_size))
+            index_B = int(rng.integers(0, self.B_size))
         B_path = self.B_paths[index_B]
-        A = self.transform(_open_rgb(A_path))
-        B = self.transform(_open_rgb(B_path))
+        A = self.transform(_open_rgb(A_path), rng=rng)
+        B = self.transform(_open_rgb(B_path), rng=rng)
         if self.opt.which_direction == "BtoA":
             input_nc, output_nc = self.opt.output_nc, self.opt.input_nc
         else:
@@ -164,6 +196,7 @@ class SingleDataset:
         self.opt = opt
         self.A_paths = list_images(opt.dataroot)
         self.rng = rng or np.random.default_rng(getattr(opt, "seed", 20))
+        self._seed = getattr(opt, "seed", 20)
         if opt.which_direction == "BtoA":
             nc = opt.output_nc
         else:
@@ -171,9 +204,10 @@ class SingleDataset:
         self._u8 = nc == 3
         self.transform = T.get_transform(opt, self.rng, uint8=self._u8)
 
-    def __getitem__(self, index):
+    def __getitem__(self, index, serial=None):
+        rng = _item_rng(self._seed, serial) if serial is not None else self.rng
         A_path = self.A_paths[index]
-        A = self.transform(_open_rgb(A_path))
+        A = self.transform(_open_rgb(A_path), rng=rng)
         if self.opt.which_direction == "BtoA":
             input_nc = self.opt.output_nc
         else:

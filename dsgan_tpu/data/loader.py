@@ -50,6 +50,22 @@ class CustomDatasetDataLoader:
         self.max_items = int(min(len(self.dataset),
                                  getattr(opt, "max_dataset_size", float("inf")) or len(self.dataset)))
         self.drop_last = phase == "train"  # static shapes: no ragged tail batch
+        # per-item serials make augmentation a pure function of stream
+        # position (thread-count independent; see datasets._item_rng).
+        # The counter persists across epochs so each epoch draws fresh.
+        import inspect
+
+        self._serial = 0
+
+        def _accepts(fn, name):
+            try:
+                return name in inspect.signature(fn).parameters
+            except (TypeError, ValueError):
+                return False
+
+        self._seeded = _accepts(self.dataset.__getitem__, "serial")
+        self._native_seeded = hasattr(self.dataset, "native_batch") and _accepts(
+            self.dataset.native_batch, "serials")
 
     def load_data(self):
         return self
@@ -96,13 +112,27 @@ class CustomDatasetDataLoader:
                     for idx in self._batches_of_indices():
                         if stop.is_set():
                             return
+                        if self._seeded:
+                            serials = list(range(self._serial, self._serial + len(idx)))
+                            self._serial += len(idx)
+                        else:
+                            serials = None
                         batch = None
                         if use_native:
-                            batch = self.dataset.native_batch(idx.tolist(), self.num_workers)
+                            kw = {"serials": serials} if self._native_seeded else {}
+                            batch = self.dataset.native_batch(
+                                idx.tolist(), self.num_workers, **kw
+                            )
                             if batch is None:
                                 use_native = False  # fall back permanently
                         if batch is None:
-                            items = list(pool.map(self.dataset.__getitem__, idx.tolist()))
+                            if serials is not None:
+                                items = list(pool.map(
+                                    lambda t: self.dataset.__getitem__(t[0], t[1]),
+                                    zip(idx.tolist(), serials),
+                                ))
+                            else:
+                                items = list(pool.map(self.dataset.__getitem__, idx.tolist()))
                             batch = {}
                             for key in items[0]:
                                 vals = [it[key] for it in items]

@@ -63,7 +63,7 @@ def get_transform(opt, rng, uint8=False):
     lw, lh = opt.loadSize_w, opt.loadSize_h
     do_flip = not opt.no_flip
 
-    def apply(img):
+    def apply(img, rng=rng):
         if mode == "resize_and_crop":
             img = resize(img, lw, lh)
         elif mode == "scale_width" or mode == "scale_width_and_crop":

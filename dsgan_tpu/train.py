@@ -32,19 +32,15 @@ def _drain(hist, start):
     relay-attached TPU), so the epoch histories are drained incrementally:
     every print fetches only the entries added since the last print —
     O(print_freq) per print instead of re-fetching the whole history,
-    which would grow O(epoch) per print over a long epoch. The pending
-    slice is fetched as ONE transfer (stack on device, single D2H); the
-    per-item path is the fallback for mixed host/device histories."""
-    pending = hist[start:]
-    if pending:
-        try:
-            import jax.numpy as jnp
+    which would grow O(epoch) per print over a long epoch.
 
-            vals = np.asarray(jnp.stack(pending))
-            hist[start:] = [float(v) for v in vals]
-        except TypeError:
-            for j in range(start, len(hist)):
-                hist[j] = float(np.asarray(hist[j]))
+    Deliberately fetched per item: batching the pending slice through an
+    eager ``jnp.stack`` wedged the axon relay client indefinitely on real
+    hardware (the D2H of the stacked array never completed; live-run
+    traceback, 2026-08-19) — the known eager-dispatch hazard on
+    relay-attached devices. Scalar fetches are small, bounded, and work."""
+    for j in range(start, len(hist)):
+        hist[j] = float(np.asarray(hist[j]))
     return len(hist)
 
 

@@ -6,6 +6,7 @@ import time
 import types
 
 import numpy as np
+import pytest
 
 from dsgan_tpu.data.loader import CustomDatasetDataLoader
 
@@ -87,3 +88,66 @@ def test_producer_exception_propagates(monkeypatch):
     with pytest.raises(OSError, match="corrupt image"):
         for _ in dl:
             pass
+
+
+def _disk_opt(root, **kw):
+    import types as _t
+
+    d = dict(
+        dataroot=str(root), phase="train_all", dataset_mode="aligned",
+        resize_or_crop="resize_and_crop", which_direction="AtoB",
+        loadSize_w=40, loadSize_h=40, fineSize_w=32, fineSize_h=32,
+        input_nc=3, output_nc=3, no_flip=False, batchSize=4, seed=7,
+        nThreads=1, max_dataset_size=float("inf"), native_loader="off",
+        serial_batches=False,
+    )
+    d.update(kw)
+    return _t.SimpleNamespace(**d)
+
+
+def _write_aligned(root, n=8, size=64):
+    from PIL import Image
+
+    d = root / "train_all"
+    d.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(0)
+    for pfx in "ab":
+        for i in range(n):
+            arr = rng.integers(0, 255, (size, size, 3)).astype(np.uint8)
+            Image.fromarray(arr).save(d / f"{pfx}_{i}.png")
+
+
+def _stream(opt):
+    from dsgan_tpu.data.loader import CreateDataLoader
+
+    dl = CreateDataLoader(opt, "train")
+    return [{k: (v.copy() if isinstance(v, np.ndarray) else v) for k, v in b.items()}
+            for b in dl]
+
+
+def test_augmentation_deterministic_across_thread_counts(tmp_path):
+    """--seed pins the augmentation stream regardless of nThreads: each
+    item's randomness derives from (seed, stream serial), not from the
+    scheduling-dependent draw order of a shared generator."""
+    _write_aligned(tmp_path)
+    s1 = _stream(_disk_opt(tmp_path, nThreads=1))
+    s8 = _stream(_disk_opt(tmp_path, nThreads=8))
+    assert len(s1) == len(s8) > 0
+    for b1, b8 in zip(s1, s8):
+        np.testing.assert_array_equal(b1["A"], b8["A"])
+        np.testing.assert_array_equal(b1["B"], b8["B"])
+        assert b1["A_paths"] == b8["A_paths"]
+
+
+def test_native_and_python_paths_identical_stream(tmp_path):
+    """With per-item serials the native C++ path replays the Python
+    path's exact (w, h, flip) draws — bit-identical batches."""
+    rt = pytest.importorskip("dsgan_tpu.runtime")
+    if not rt.available():
+        pytest.skip("native runtime unavailable")
+    _write_aligned(tmp_path)
+    py = _stream(_disk_opt(tmp_path, native_loader="off"))
+    nat = _stream(_disk_opt(tmp_path, native_loader="auto"))
+    for bp, bn in zip(py, nat):
+        np.testing.assert_array_equal(bp["A"], bn["A"])
+        np.testing.assert_array_equal(bp["B"], bn["B"])
