@@ -44,8 +44,34 @@ def _drain(hist, start):
     return len(hist)
 
 
+def _install_preempt_handler():
+    """Graceful-preemption flag: TPU pods are routinely preempted with
+    SIGTERM. The handler only records the request; the epoch loop
+    checkpoints the FULL training state at the next iteration boundary
+    (label 'preempt') and exits 0. Resume with
+    ``--continue_train --which_epoch preempt`` — exact trajectory, like
+    any epoch checkpoint. Returns the flag list (non-empty = requested);
+    no-op outside the main thread (programmatic/test drivers)."""
+    import signal
+    import threading
+
+    flag = []
+    if threading.current_thread() is not threading.main_thread():
+        return flag
+
+    def _on_term(sig, frame):
+        flag.append(sig)
+
+    try:
+        signal.signal(signal.SIGTERM, _on_term)
+    except (ValueError, OSError):
+        pass
+    return flag
+
+
 def main(argv=None, dataset_path=None, out_path=None):
     opt = TrainOptions().parse(dataset_path, out_path, argv)
+    preempt = _install_preempt_handler()
     if getattr(opt, "debug_nans", False):
         import jax
 
@@ -95,6 +121,15 @@ def main(argv=None, dataset_path=None, out_path=None):
 
         last_batch = None
         for i, data in enumerate(dataset):
+            if preempt:
+                print(f"SIGTERM received: checkpointing 'preempt' state "
+                      f"(epoch {epoch}, iter {i}) and exiting")
+                model.save_networks("preempt")
+                from dsgan_tpu.utils import checkpoint as _ckpt
+
+                _ckpt.wait_for_saves()
+                print("resume with: --continue_train --which_epoch preempt")
+                return
             iter_start_time = time.time()
             if i % output_freq == 0:
                 t_data = iter_start_time - iter_data_time

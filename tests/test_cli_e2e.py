@@ -208,3 +208,57 @@ def test_keep_ckpts_retention_through_cli(tiny_dataset, tmp_path):
     ckpt_dir = os.path.join(out, "checkpoints", "keep")
     epochs = sorted(d for d in os.listdir(ckpt_dir) if d.startswith("epoch_"))
     assert epochs == ["epoch_3"], epochs
+
+
+@pytest.mark.slow
+def test_sigterm_preempt_checkpoint_and_resume(tiny_dataset, tmp_path):
+    """Graceful preemption: SIGTERM mid-training checkpoints the full
+    state (label 'preempt') and exits 0; --continue_train
+    --which_epoch preempt resumes it."""
+    import signal
+    import subprocess
+    import sys
+    import time as _time
+
+    out = str(tmp_path / "out")
+    args = [
+        sys.executable, "-m", "dsgan_tpu.train", "--platform", "cpu",
+        "--dataroot", tiny_dataset, "--checkpoints_dir",
+        os.path.join(out, "checkpoints"), "--name", "pre",
+        "--niter", "500", "--niter_decay", "0", "--print_freq", "1",
+    ] + COMMON + TRAIN_ONLY
+    proc = subprocess.Popen(args, stdout=subprocess.PIPE,
+                            stderr=subprocess.STDOUT)
+    ckpt_dir = os.path.join(out, "checkpoints", "pre")
+    log = os.path.join(ckpt_dir, "loss_log.txt")
+    deadline = _time.time() + 180
+    # wait until at least one training iteration has logged
+    while _time.time() < deadline:
+        if os.path.isfile(log) and len(open(log).readlines()) >= 2:
+            break
+        if proc.poll() is not None:
+            raise AssertionError(
+                "trainer exited early:\n" + proc.stdout.read().decode())
+        _time.sleep(0.5)
+    else:
+        proc.kill()
+        raise AssertionError("trainer never reached a training iteration")
+    proc.send_signal(signal.SIGTERM)
+    out_text = proc.stdout.read().decode()
+    assert proc.wait(timeout=120) == 0, out_text
+    assert "preempt" in out_text
+    assert os.path.isdir(os.path.join(ckpt_dir, "epoch_preempt")), out_text
+
+    # resume from the preempt state through the in-process entry point
+    from dsgan_tpu.train import main as train_main
+
+    train_main(
+        COMMON + TRAIN_ONLY + [
+            "--niter", "1", "--niter_decay", "0", "--print_freq", "2",
+            "--name", "pre", "--continue_train", "--which_epoch", "preempt",
+            "--checkpoints_dir", os.path.join(out, "checkpoints"),
+        ],
+        dataset_path=tiny_dataset,
+        out_path=None,
+    )
+    assert os.path.isdir(os.path.join(ckpt_dir, "epoch_1"))
