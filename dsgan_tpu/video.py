@@ -104,7 +104,18 @@ def main(argv=None):
     if which == "latest":
         which = ckpt.latest_epoch(save_dir)
     tree = ckpt.restore_untyped(save_dir, which)
-    params = jax.tree_util.tree_map(jnp.asarray, tree["state"]["params_G"])
+    st = tree["state"]
+    # pix2pix/test checkpoints carry params_G; cycle_gan carries the
+    # A->B generator as params_G_A
+    raw = st.get("params_G") if st.get("params_G") else st.get("params_G_A")
+    if not raw:
+        raise SystemExit(
+            f"checkpoint epoch {which} has no generator params "
+            f"(keys: {sorted(st)})")
+    params = jax.tree_util.tree_map(jnp.asarray, raw)
+    stats = st.get("stats_G") if st.get("stats_G") else st.get("stats_G_A")
+    if stats:  # --norm batch recipes: eval needs the running averages
+        stats = jax.tree_util.tree_map(jnp.asarray, stats)
     print(f"loaded generator from epoch {which}")
 
     # --data_axis/--spatial_axis shard the frame batch (N) and image rows
@@ -120,7 +131,15 @@ def main(argv=None):
         getattr(opt, "data_axis", 0), getattr(opt, "spatial_axis", 1),
         batch_size=bs, height=h,
     )
-    apply_fn = lambda p, x: g.apply({"params": p}, x)
+    from dsgan_tpu.models.pix2pix import _apply_net
+
+    def apply_fn(p, x):
+        # eval-mode apply: train=False (dropout off, BatchNorm running
+        # stats) with the checkpoint's batch_stats when present
+        return _apply_net(g, p["params"], x, False,
+                          stats=p.get("batch_stats") or None)
+
+    params = {"params": params, "batch_stats": stats or {}}
     if mesh is not None:
         d, s = mesh.devices.shape
         print(f"video mesh: data={d} x spatial={s}")

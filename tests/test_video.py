@@ -147,3 +147,44 @@ def test_video_fid_metrics(tmp_path):
     ])
     text = (tmp_path / "results" / "vfid" / "video" / "temporal.csv").read_text()
     assert "fid," in text and "kid," in text
+
+
+@pytest.mark.slow
+def test_video_cyclegan_batchnorm_checkpoint(tmp_path):
+    """The harness pulls the generator out of cycle_gan checkpoints too
+    (params_G_A) and restores BatchNorm running stats for --norm batch
+    recipes (eval-mode apply)."""
+    import jax
+    from dsgan_tpu.models import registry
+    from dsgan_tpu.utils import checkpoint as ckpt
+
+    h = w = 32
+    g = registry.define_G(3, 3, 8, "resnet_6blocks", norm="batch", dtype=None)
+    variables = registry.init_params(g, jax.random.PRNGKey(0), (1, h, w, 3), "normal")
+    assert variables.get("batch_stats"), "batch norm build should carry stats"
+    save_dir = str(tmp_path / "ckpt" / "cyc")
+    ckpt.save_state(save_dir, 3, {"state": {
+        "params_G_A": variables["params"],
+        "stats_G_A": variables["batch_stats"],
+    }}, async_save=False)
+
+    frames = tmp_path / "frames"
+    os.makedirs(frames)
+    rng = np.random.default_rng(1)
+    for t in range(3):
+        arr = rng.integers(0, 255, (h, w, 3)).astype(np.uint8)
+        Image.fromarray(arr).save(frames / f"f{t:03d}.png")
+
+    from dsgan_tpu import video
+
+    tc = video.main([
+        "--dataroot", str(frames), "--name", "cyc",
+        "--checkpoints_dir", str(tmp_path / "ckpt"),
+        "--results_dir", str(tmp_path / "results"),
+        "--which_epoch", "3", "--which_model_netG", "resnet_6blocks",
+        "--ngf", "8", "--dtype", "float32", "--batchSize", "2",
+        "--norm", "batch", "--no_flow_metric",
+        "--fineSize_w", "32", "--fineSize_h", "32",
+        "--loadSize_w", "32", "--loadSize_h", "32",
+    ])
+    assert np.isfinite(tc)
