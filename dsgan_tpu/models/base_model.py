@@ -33,6 +33,43 @@ class AnomalyDetected(RuntimeError):
         )
 
 
+def make_chained_step(step_fn):
+    """k-step dispatch chaining: lax.scan the fused step over k stacked
+    batches so the host pays ONE dispatch + ONE H2D sync per k steps.
+
+    ``(state, A[k,B,...], B[k,B,...], ..., lr) ->
+      (state, metrics_stacked[k], *last_batch_outs)``
+
+    The math is exactly k sequential steps — same per-step RNG splits,
+    same state threading (bit-equivalence pinned by
+    tests/test_chained_step.py). Exists because a relay-attached
+    accelerator charges ~100 ms of completion-EVENT latency per blocking
+    sync once the big program is resident (measured decomposition:
+    docs/PERF.md "End-to-end CLI gap"); chaining amortizes it k-fold.
+    Works for any algorithm on the framework-wide step contract
+    ``(state, *batches, lr) -> (state, metrics, *batch_outs)``.
+    """
+    import jax.numpy as jnp
+
+    def chained(state, *args):
+        batches, lr = args[:-1], args[-1]
+        # the scan carry holds the LAST sub-step's per-image outputs;
+        # shape them from an abstract eval of one step (no FLOPs)
+        out_sig = jax.eval_shape(step_fn, state, *(b[0] for b in batches), lr)
+        init_outs = jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype), tuple(out_sig[2:])
+        )
+
+        def body(carry, xs):
+            res = step_fn(carry[0], *xs, lr)
+            return (res[0], tuple(res[2:])), res[1]
+
+        (state, outs), metrics = jax.lax.scan(body, (state, init_outs), batches)
+        return (state, metrics) + tuple(outs)
+
+    return chained
+
+
 class BaseModel:
     @staticmethod
     def modify_commandline_options(parser, is_train=True):
@@ -86,6 +123,17 @@ class BaseModel:
                                       n_batch_outs=n_batch_outs)
         return jax.jit(step_fn, donate_argnums=(0,))
 
+    def _jit_chained_step(self, chained_fn, n_batch_args=2, n_batch_outs=1):
+        """jit a k-chained step (make_chained_step) — mesh-aware like
+        _jit_step; the batch args carry a leading unsharded scan axis."""
+        if self.mesh is not None:
+            from dsgan_tpu.parallel import make_parallel_chained_step
+
+            return make_parallel_chained_step(chained_fn, self.mesh,
+                                              n_batch_args=n_batch_args,
+                                              n_batch_outs=n_batch_outs)
+        return jax.jit(chained_fn, donate_argnums=(0,))
+
     def _jit_infer(self, apply_fn):
         """jit a (params, x) generator forward — batch/H sharded on the mesh."""
         if self.mesh is not None:
@@ -119,6 +167,18 @@ class BaseModel:
             from dsgan_tpu.parallel import shard_batch
 
             return shard_batch(arr, self.mesh)
+        return jnp.asarray(arr)
+
+    def _place_chunk(self, arr):
+        """Device-put a k-stacked (k, N, H, W, C) host chunk — ONE H2D
+        transfer for k batches (see _place_batch for the uint8 contract)."""
+        import jax.numpy as jnp
+
+        arr = np.asarray(arr)
+        if self.mesh is not None:
+            from dsgan_tpu.parallel import shard_chunk
+
+            return shard_chunk(arr, self.mesh)
         return jnp.asarray(arr)
 
     # -- lifecycle ---------------------------------------------------------

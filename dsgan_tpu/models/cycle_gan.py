@@ -280,9 +280,11 @@ class CycleGANModel(BaseModel):
                 stats_D_A=stats_D_A, stats_D_B=stats_D_B,
             )
             self.state = self._place_state(self.state)
-            self._step_fn = self._jit_step(
-                make_cyclegan_step(self.netG_A, self.netG_B, self.netD_A, self.netD_B, cfg)
+            self._raw_step = make_cyclegan_step(
+                self.netG_A, self.netG_B, self.netD_A, self.netD_B, cfg
             )
+            self._step_fn = self._jit_step(self._raw_step)
+            self._chained_fn = None  # built on first chunk dispatch
         else:
             self.state = CycleGANState(
                 params_G_A=params_G_A, params_G_B=params_G_B,
@@ -317,6 +319,35 @@ class CycleGANModel(BaseModel):
         self.state, self._metrics, visuals = self._step_fn(
             self.state, self.real_A, self.real_B, jnp.float32(self.lr)
         )
+        for k, v in visuals.items():
+            setattr(self, k, v)
+
+    def set_input_chunk(self, inputs):
+        """Stage a k-item chunk as one stacked H2D per side
+        (--steps_per_dispatch; see Pix2PixModel.set_input_chunk)."""
+        AtoB = self.opt.which_direction == "AtoB"
+        ka, kb = ("A", "B") if AtoB else ("B", "A")
+        As = np.stack([np.asarray(d[ka]) for d in inputs])
+        Bs = np.stack([np.asarray(d[kb]) for d in inputs])
+        self.chunk_A = self._place_chunk(As)
+        self.chunk_B = self._place_chunk(Bs)
+        self.real_A, self.real_B = As[-1], Bs[-1]
+        self.image_paths = inputs[-1].get(ka + "_paths", [])
+
+    def optimize_parameters_chunk(self):
+        """k fused joint G_A/G_B + D_A/D_B steps in ONE dispatch —
+        bit-identical to k sequential steps (tests/test_chained_step.py)."""
+        if self._chained_fn is None:
+            from dsgan_tpu.models.base_model import make_chained_step
+
+            self._chained_fn = self._jit_chained_step(
+                make_chained_step(self._raw_step)
+            )
+        self.state, ms, visuals = self._chained_fn(
+            self.state, self.chunk_A, self.chunk_B, jnp.float32(self.lr)
+        )
+        self._metrics_seq = ms
+        self._metrics = {k: v[-1] for k, v in ms.items()}
         for k, v in visuals.items():
             setattr(self, k, v)
 

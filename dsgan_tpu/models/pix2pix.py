@@ -390,9 +390,11 @@ class Pix2PixModel(BaseModel):
                 stats_D=stats_D,
             )
             self.state = self._place_state(self.state)
-            self._step_fn = self._jit_step(
-                make_train_step(self.netG, self.netD, self.vgg, self.vgg_params, cfg)
+            self._raw_step = make_train_step(
+                self.netG, self.netD, self.vgg, self.vgg_params, cfg
             )
+            self._step_fn = self._jit_step(self._raw_step)
+            self._chained_fn = None  # built on first chunk dispatch
         else:
             self.state = Pix2PixState(
                 params_G=params_G, params_D=None, opt_G=None, opt_D=None,
@@ -424,11 +426,42 @@ class Pix2PixModel(BaseModel):
         self.real_B = self._place_batch(input["B" if AtoB else "A"])
         self.image_paths = input.get("A_paths" if AtoB else "B_paths", [])
 
+    def set_input_chunk(self, inputs):
+        """Stage a k-item chunk (list of loader batches) as ONE stacked
+        (k, B, H, W, C) H2D transfer per side (--steps_per_dispatch)."""
+        AtoB = self.opt.which_direction == "AtoB"
+        ka, kb = ("A", "B") if AtoB else ("B", "A")
+        As = np.stack([np.asarray(d[ka]) for d in inputs])
+        Bs = np.stack([np.asarray(d[kb]) for d in inputs])
+        self.chunk_A = self._place_chunk(As)
+        self.chunk_B = self._place_chunk(Bs)
+        # visuals/anomaly dumps reflect the chunk's LAST sub-batch (host
+        # copies — no extra device traffic)
+        self.real_A, self.real_B = As[-1], Bs[-1]
+        self.image_paths = inputs[-1].get(ka + "_paths", [])
+
     # -- step --------------------------------------------------------------
     def optimize_parameters(self):
         self.state, self._metrics, self.fake_B = self._step_fn(
             self.state, self.real_A, self.real_B, jnp.float32(self.lr)
         )
+
+    def optimize_parameters_chunk(self):
+        """Run k fused steps in ONE dispatch over the staged chunk.
+        Bit-identical to k sequential optimize_parameters calls
+        (tests/test_chained_step.py); amortizes the relay's per-sync
+        completion-event latency (docs/PERF.md 'End-to-end CLI gap')."""
+        if self._chained_fn is None:
+            from dsgan_tpu.models.base_model import make_chained_step
+
+            self._chained_fn = self._jit_chained_step(
+                make_chained_step(self._raw_step)
+            )
+        self.state, ms, self.fake_B = self._chained_fn(
+            self.state, self.chunk_A, self.chunk_B, jnp.float32(self.lr)
+        )
+        self._metrics_seq = ms  # (k,)-stacked device arrays per key
+        self._metrics = {k: v[-1] for k, v in ms.items()}
 
     def forward(self):
         v = {"params": self.state.params_G}

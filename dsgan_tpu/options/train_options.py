@@ -53,6 +53,15 @@ class TrainOptions(BaseOptions):
                             help="schedule: lambda (linear decay) | step | plateau")
         parser.add_argument("--lr_decay_iters", type=int, default=50,
                             help="step policy: epochs per 0.1x decay")
+        parser.add_argument("--steps_per_dispatch", type=int, default=1,
+                            help="fuse k train steps into one device dispatch "
+                                 "(lax.scan over a k-stacked batch chunk, one "
+                                 "host->device transfer per chunk) — identical "
+                                 "training math, amortizes per-step dispatch/"
+                                 "completion latency on relay-attached "
+                                 "accelerators. Pick k dividing the batches "
+                                 "per epoch to avoid compiling a second "
+                                 "(single-step) program for the epoch tail")
         # ---- TPU-native observability
         parser.add_argument("--profile_dir", type=str, default="",
                             help="write a jax.profiler trace (TensorBoard format) here")

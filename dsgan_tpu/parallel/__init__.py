@@ -2,10 +2,13 @@ from dsgan_tpu.parallel.mesh import (
     get_mesh,
     resolve_mesh,
     shard_batch,
+    shard_chunk,
     replicate,
     make_parallel_step,
+    make_parallel_chained_step,
     make_parallel_infer,
     batch_sharding,
+    chunk_sharding,
 )
 from dsgan_tpu.parallel import multihost
 
@@ -13,9 +16,12 @@ __all__ = [
     "get_mesh",
     "resolve_mesh",
     "shard_batch",
+    "shard_chunk",
     "replicate",
     "make_parallel_step",
+    "make_parallel_chained_step",
     "make_parallel_infer",
     "batch_sharding",
+    "chunk_sharding",
     "multihost",
 ]

@@ -89,6 +89,12 @@ def batch_sharding(mesh):
     return NamedSharding(mesh, P("data", "spatial", None, None))
 
 
+def chunk_sharding(mesh):
+    """k-stacked NHWC batches (k, N, H, W, C) for --steps_per_dispatch:
+    the scan axis k is unsharded; N over 'data', H over 'spatial'."""
+    return NamedSharding(mesh, P(None, "data", "spatial", None, None))
+
+
 def replicate(tree, mesh):
     """Replicate a pytree (params/opt state) across the whole mesh."""
     sharding = NamedSharding(mesh, P())
@@ -118,6 +124,37 @@ def make_parallel_infer(apply_fn, mesh):
     repl = NamedSharding(mesh, P())
     data = batch_sharding(mesh)
     return jax.jit(apply_fn, in_shardings=(repl, data), out_shardings=data)
+
+
+def shard_chunk(chunk, mesh):
+    """Place a k-stacked (k, N, H, W, C) host chunk onto the mesh."""
+    data, spatial = mesh.devices.shape
+    if chunk.shape[1] % data != 0 or chunk.shape[2] % spatial != 0:
+        raise ValueError(
+            f"chunk {chunk.shape} does not tile onto the {data}x{spatial} "
+            f"(data x spatial) mesh: N (axis 1) must divide by {data} and "
+            f"H (axis 2) by {spatial}."
+        )
+    return jax.device_put(chunk, chunk_sharding(mesh))
+
+
+def make_parallel_chained_step(chained_fn, mesh, donate_state=True,
+                               n_batch_args=2, n_batch_outs=1):
+    """jit a k-chained step ``(state, chunk..., lr)`` over the mesh.
+
+    Same contract as make_parallel_step but the batch arguments carry a
+    leading unsharded scan axis k and the metrics output is k-stacked
+    (replicated); the trailing ``n_batch_outs`` are the LAST sub-step's
+    per-image outputs (data-sharded)."""
+    repl = NamedSharding(mesh, P())
+    chunk = chunk_sharding(mesh)
+    data = batch_sharding(mesh)
+    return jax.jit(
+        chained_fn,
+        in_shardings=(repl,) + (chunk,) * n_batch_args + (repl,),
+        out_shardings=(repl, repl) + (data,) * n_batch_outs,
+        donate_argnums=(0,) if donate_state else (),
+    )
 
 
 def make_parallel_step(step_fn, mesh, donate_state=True, n_batch_args=2,

@@ -44,6 +44,19 @@ def _drain(hist, start):
     return len(hist)
 
 
+def _chunked(iterable, k):
+    """Yield lists of up to k consecutive loader batches (the tail of an
+    epoch may be shorter)."""
+    chunk = []
+    for item in iterable:
+        chunk.append(item)
+        if len(chunk) == k:
+            yield chunk
+            chunk = []
+    if chunk:
+        yield chunk
+
+
 def _install_preempt_handler():
     """Graceful-preemption flag: TPU pods are routinely preempted with
     SIGTERM. The handler only records the request; the epoch loop
@@ -119,72 +132,97 @@ def main(argv=None, dataset_path=None, out_path=None):
         if bar:
             bar.set_description(f"epoch: {epoch}/{total_epochs}")
 
-        last_batch = None
-        for i, data in enumerate(dataset):
+        # --steps_per_dispatch k > 1: run k fused steps per device dispatch
+        # (lax.scan over a k-stacked batch chunk; one H2D per chunk) to
+        # amortize per-sync dispatch/completion latency — bit-identical
+        # training math (docs/PERF.md "End-to-end CLI gap"). Tail chunks
+        # shorter than k (epoch end) fall back to the single-step program.
+        spd = max(int(getattr(opt, "steps_per_dispatch", 1) or 1), 1)
+        can_chain = hasattr(model, "optimize_parameters_chunk")
+
+        i = -1
+        for chunk in _chunked(dataset, spd):
             if preempt:
                 print(f"SIGTERM received: checkpointing 'preempt' state "
-                      f"(epoch {epoch}, iter {i}) and exiting")
+                      f"(epoch {epoch}, iter {i + 1}) and exiting")
                 model.save_networks("preempt")
                 from dsgan_tpu.utils import checkpoint as _ckpt
 
                 _ckpt.wait_for_saves()
                 print("resume with: --continue_train --which_epoch preempt")
                 return
-            iter_start_time = time.time()
-            if i % output_freq == 0:
-                t_data = iter_start_time - iter_data_time
-            epoch_iter += opt.batchSize
-            last_batch = data
+            chunk_start_time = time.time()
+            if (i + 1) % output_freq == 0:
+                t_data = chunk_start_time - iter_data_time
 
-            if global_step == prof_start:
+            # profiler brackets round to chunk boundaries when chaining
+            if prof_start >= 0 and global_step <= prof_start < global_step + len(chunk):
                 import jax
 
                 jax.profiler.start_trace(profile_dir)
-            model.set_input(data)
-            model.optimize_parameters()
-            if global_step == prof_stop:
+
+            chained = spd > 1 and can_chain and len(chunk) > 1
+            if chained:
+                model.set_input_chunk(chunk)
+                model.optimize_parameters_chunk()
+                seq = getattr(model, "_metrics_seq", {})
+
+            for j, data in enumerate(chunk):
+                if not chained:
+                    model.set_input(data)
+                    model.optimize_parameters()
+                    seq = None
+                i += 1
+                epoch_iter += opt.batchSize
+                global_step += 1
+
+                # device scalars; kept lazy — no host sync here (models
+                # whose step has no cheap per-iter quality metric, e.g.
+                # diffusion, simply omit them). Chunk metrics index into
+                # the k-stacked device arrays (lazy slices, no fetch).
+                m = {k: v[j] for k, v in seq.items()} if seq is not None \
+                    else model._metrics
+                if "ssim" in m:
+                    ssim_hist.append(m["ssim"])
+                if "psnr" in m:
+                    psnr_hist.append(m["psnr"])
+                if bar:
+                    bar.update(1)
+
+                if (i + 1) % output_freq == 0:
+                    n_fetched_s = _drain(ssim_hist, n_fetched_s)
+                    n_fetched_p = _drain(psnr_hist, n_fetched_p)
+                    ssim_avg = float(np.mean(ssim_hist)) if ssim_hist else 0.0
+                    psnr_avg = float(np.mean(psnr_hist)) if psnr_hist else 0.0
+                    losses = model.get_current_losses()
+                    if getattr(opt, "detect_anomaly", 0):
+                        model.check_anomaly(f"epoch {epoch} iter {i + 1}")
+                    t = (time.time() - chunk_start_time) / (
+                        opt.batchSize * len(chunk)
+                    )
+                    visualizer.print_current_losses(
+                        epoch, epoch_iter, losses, t, t_data, ssim_avg, psnr_avg
+                    )
+
+                    # triptych TIR | fake | GT (chunk runs show the
+                    # chunk's last sub-batch)
+                    vis = model.get_current_visuals()
+                    trip = np.hstack([vis["real_A"], vis["fake_B"], vis["real_B"]])
+                    from PIL import Image
+
+                    Image.fromarray(trip).save(
+                        os.path.join(train_img_path, f"train_Re{epoch}_{i + 1}.png")
+                    )
+
+                    with open(os.path.join(result_path, "result.csv"), "a", newline="") as f:
+                        message = "".join(f"{k}: {v:.3f} " for k, v in losses.items()) + "  "
+                        csv.writer(f).writerow([epoch, message, ssim_avg, psnr_avg])
+
+            if prof_stop >= 0 and global_step - len(chunk) < prof_stop + 1 <= global_step:
                 import jax
 
                 jax.profiler.stop_trace()
                 print(f"profiler trace written to {profile_dir}")
-            global_step += 1
-
-            # device scalars; kept lazy — no host sync here (models whose
-            # step has no cheap per-iter quality metric, e.g. diffusion,
-            # simply omit them)
-            if "ssim" in model._metrics:
-                ssim_hist.append(model._metrics["ssim"])
-            if "psnr" in model._metrics:
-                psnr_hist.append(model._metrics["psnr"])
-            if bar:
-                bar.update(1)
-
-            if (i + 1) % output_freq == 0:
-                n_fetched_s = _drain(ssim_hist, n_fetched_s)
-                n_fetched_p = _drain(psnr_hist, n_fetched_p)
-                ssim_avg = float(np.mean(ssim_hist)) if ssim_hist else 0.0
-                psnr_avg = float(np.mean(psnr_hist)) if psnr_hist else 0.0
-                losses = model.get_current_losses()
-                if getattr(opt, "detect_anomaly", 0):
-                    model.check_anomaly(f"epoch {epoch} iter {i + 1}")
-                t = (time.time() - iter_start_time) / opt.batchSize
-                visualizer.print_current_losses(
-                    epoch, epoch_iter, losses, t, t_data, ssim_avg, psnr_avg
-                )
-
-                # triptych TIR | fake | GT
-                vis = model.get_current_visuals()
-                trip = np.hstack([vis["real_A"], vis["fake_B"], vis["real_B"]])
-                from PIL import Image
-
-                Image.fromarray(trip).save(
-                    os.path.join(train_img_path, f"train_Re{epoch}_{i + 1}.png")
-                )
-
-                with open(os.path.join(result_path, "result.csv"), "a", newline="") as f:
-                    message = "".join(f"{k}: {v:.3f} " for k, v in losses.items()) + "  "
-                    csv.writer(f).writerow([epoch, message, ssim_avg, psnr_avg])
-
             iter_data_time = time.time()
 
         if bar:

@@ -40,6 +40,7 @@ TRAIN_DEFAULTS = {
     "remat": False, "seed": 20, "vgg_weights": "",
     "keep_ckpts": 0, "detect_anomaly": 1, "debug_nans": False,
     "profile_dir": "", "profile_steps": "10:13",
+    "steps_per_dispatch": 1,
 }
 
 TEST_ONLY_DEFAULTS = {

@@ -53,6 +53,9 @@ def main():
     ap.add_argument("--size", type=int, default=256)
     ap.add_argument("--native", default="1",
                     help="1: native C++ loader fast path, 0: Python loader")
+    ap.add_argument("--chunk", type=int, default=1,
+                    help="--steps_per_dispatch value for the e2e phase "
+                         "(k fused steps per dispatch; 1 = today's loop)")
     ap.add_argument("--root", default="/tmp/dsgan_e2e_bench")
     args = ap.parse_args()
 
@@ -102,17 +105,41 @@ def main():
     model.optimize_parameters()
     float(np.asarray(model._metrics["loss_G"]))
 
+    if args.chunk > 1:
+        # compile the chained program outside the timed region too
+        model.set_input_chunk([warm] * args.chunk)
+        model.optimize_parameters_chunk()
+        float(np.asarray(model._metrics["loss_G"]))
+
     t0 = time.perf_counter()
     n = 0
     k = 0
-    for data in dataset:
-        model.set_input(data)
-        model.optimize_parameters()
-        lazy.append(model._metrics["ssim"])  # lazy device scalar, no sync
-        n += data["A"].shape[0]
-        k += 1
-        if k >= args.steps:
-            break
+    if args.chunk > 1:
+        # the --steps_per_dispatch hot loop: k loader batches -> ONE
+        # stacked H2D -> ONE chained dispatch (train.py's chunk path)
+        pending = []
+        for data in dataset:
+            pending.append(data)
+            if len(pending) < args.chunk:
+                continue
+            model.set_input_chunk(pending)
+            model.optimize_parameters_chunk()
+            lazy.extend(model._metrics_seq["ssim"][j]
+                        for j in range(args.chunk))  # lazy slices, no sync
+            n += sum(d["A"].shape[0] for d in pending)
+            k += len(pending)
+            pending = []
+            if k >= args.steps:
+                break
+    else:
+        for data in dataset:
+            model.set_input(data)
+            model.optimize_parameters()
+            lazy.append(model._metrics["ssim"])  # lazy device scalar, no sync
+            n += data["A"].shape[0]
+            k += 1
+            if k >= args.steps:
+                break
     float(np.asarray(model._metrics["loss_G"]))  # force completion
     e2e_ips = n / (time.perf_counter() - t0)
 
@@ -137,6 +164,7 @@ def main():
         "device_images_per_sec": round(dev_ips, 2),
         "e2e_over_device": round(e2e_ips / dev_ips, 4),
         "native_loader": args.native == "1",
+        "steps_per_dispatch": args.chunk,
     }))
 
 
