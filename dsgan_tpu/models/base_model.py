@@ -38,7 +38,8 @@ def make_chained_step(step_fn):
     batches so the host pays ONE dispatch + ONE H2D sync per k steps.
 
     ``(state, A[k,B,...], B[k,B,...], ..., lr) ->
-      (state, metrics_stacked[k], *last_batch_outs)``
+      (state, {"seq": metrics_stacked[k], "last": metrics_last},
+       *last_batch_outs)``
 
     The math is exactly k sequential steps — same per-step RNG splits,
     same state threading (bit-equivalence pinned by
@@ -48,6 +49,13 @@ def make_chained_step(step_fn):
     docs/PERF.md "End-to-end CLI gap"); chaining amortizes it k-fold.
     Works for any algorithm on the framework-wide step contract
     ``(state, *batches, lr) -> (state, metrics, *batch_outs)``.
+
+    Both metric views are computed INSIDE the jitted program: every
+    host-side slice of a device array is an eager dispatch, and on a
+    relay-attached device each dispatch is a ~20 ms round-trip — slicing
+    ~20 metric keys per chunk on the host would cost more than the
+    chaining saves (measured: e2e_chunked 44 img/s with host slices vs
+    76 plain; docs/PERF.md).
     """
     import jax.numpy as jnp
 
@@ -65,7 +73,8 @@ def make_chained_step(step_fn):
             return (res[0], tuple(res[2:])), res[1]
 
         (state, outs), metrics = jax.lax.scan(body, (state, init_outs), batches)
-        return (state, metrics) + tuple(outs)
+        last = jax.tree_util.tree_map(lambda a: a[-1], metrics)
+        return (state, {"seq": metrics, "last": last}) + tuple(outs)
 
     return chained
 

@@ -346,8 +346,9 @@ class CycleGANModel(BaseModel):
         self.state, ms, visuals = self._chained_fn(
             self.state, self.chunk_A, self.chunk_B, jnp.float32(self.lr)
         )
-        self._metrics_seq = ms
-        self._metrics = {k: v[-1] for k, v in ms.items()}
+        # both views computed in-jit — zero host-side slice dispatches
+        self._metrics_seq = ms["seq"]
+        self._metrics = ms["last"]
         for k, v in visuals.items():
             setattr(self, k, v)
 

@@ -460,8 +460,9 @@ class Pix2PixModel(BaseModel):
         self.state, ms, self.fake_B = self._chained_fn(
             self.state, self.chunk_A, self.chunk_B, jnp.float32(self.lr)
         )
-        self._metrics_seq = ms  # (k,)-stacked device arrays per key
-        self._metrics = {k: v[-1] for k, v in ms.items()}
+        # both views computed in-jit — zero host-side slice dispatches
+        self._metrics_seq = ms["seq"]  # (k,)-stacked device arrays per key
+        self._metrics = ms["last"]
 
     def forward(self):
         v = {"params": self.state.params_G}

@@ -38,9 +38,20 @@ def _drain(hist, start):
     eager ``jnp.stack`` wedged the axon relay client indefinitely on real
     hardware (the D2H of the stacked array never completed; live-run
     traceback, 2026-08-19) — the known eager-dispatch hazard on
-    relay-attached devices. Scalar fetches are small, bounded, and work."""
-    for j in range(start, len(hist)):
-        hist[j] = float(np.asarray(hist[j]))
+    relay-attached devices. Scalar fetches are small, bounded, and work.
+
+    Chunked (--steps_per_dispatch) runs append the (k,)-stacked per-chunk
+    metric array as ONE entry; it is fetched in one D2H here and
+    flattened in place so the history stays per-iteration."""
+    j = start
+    while j < len(hist):
+        v = np.asarray(hist[j])
+        if v.ndim == 0:
+            hist[j] = float(v)
+            j += 1
+        else:
+            hist[j : j + 1] = [float(x) for x in v]
+            j += len(v)
     return len(hist)
 
 
@@ -165,27 +176,30 @@ def main(argv=None, dataset_path=None, out_path=None):
             if chained:
                 model.set_input_chunk(chunk)
                 model.optimize_parameters_chunk()
+                # ONE (k,)-stacked lazy device array per metric, appended
+                # whole — host-side per-substep slices are eager dispatches
+                # (~20 ms each through a relay); _drain flattens them.
                 seq = getattr(model, "_metrics_seq", {})
+                if "ssim" in seq:
+                    ssim_hist.append(seq["ssim"])
+                if "psnr" in seq:
+                    psnr_hist.append(seq["psnr"])
 
             for j, data in enumerate(chunk):
                 if not chained:
                     model.set_input(data)
                     model.optimize_parameters()
-                    seq = None
+                    # device scalars; kept lazy — no host sync here (models
+                    # whose step has no cheap per-iter quality metric, e.g.
+                    # diffusion, simply omit them)
+                    m = model._metrics
+                    if "ssim" in m:
+                        ssim_hist.append(m["ssim"])
+                    if "psnr" in m:
+                        psnr_hist.append(m["psnr"])
                 i += 1
                 epoch_iter += opt.batchSize
                 global_step += 1
-
-                # device scalars; kept lazy — no host sync here (models
-                # whose step has no cheap per-iter quality metric, e.g.
-                # diffusion, simply omit them). Chunk metrics index into
-                # the k-stacked device arrays (lazy slices, no fetch).
-                m = {k: v[j] for k, v in seq.items()} if seq is not None \
-                    else model._metrics
-                if "ssim" in m:
-                    ssim_hist.append(m["ssim"])
-                if "psnr" in m:
-                    psnr_hist.append(m["psnr"])
                 if bar:
                     bar.update(1)
 

@@ -56,6 +56,9 @@ def main():
     ap.add_argument("--chunk", type=int, default=1,
                     help="--steps_per_dispatch value for the e2e phase "
                          "(k fused steps per dispatch; 1 = today's loop)")
+    ap.add_argument("--reps", type=int, default=3,
+                    help="interleaved measurement rounds per phase; the "
+                         "reported numbers are per-phase medians")
     ap.add_argument("--root", default="/tmp/dsgan_e2e_bench")
     args = ap.parse_args()
 
@@ -106,32 +109,14 @@ def main():
     float(np.asarray(model._metrics["loss_G"]))
 
     if args.chunk > 1:
-        # compile the chained program outside the timed region too
+        # compile the chained program outside the timed regions too
         model.set_input_chunk([warm] * args.chunk)
         model.optimize_parameters_chunk()
         float(np.asarray(model._metrics["loss_G"]))
 
-    t0 = time.perf_counter()
-    n = 0
-    k = 0
-    if args.chunk > 1:
-        # the --steps_per_dispatch hot loop: k loader batches -> ONE
-        # stacked H2D -> ONE chained dispatch (train.py's chunk path)
-        pending = []
-        for data in dataset:
-            pending.append(data)
-            if len(pending) < args.chunk:
-                continue
-            model.set_input_chunk(pending)
-            model.optimize_parameters_chunk()
-            lazy.extend(model._metrics_seq["ssim"][j]
-                        for j in range(args.chunk))  # lazy slices, no sync
-            n += sum(d["A"].shape[0] for d in pending)
-            k += len(pending)
-            pending = []
-            if k >= args.steps:
-                break
-    else:
+    def e2e_plain():
+        t0 = time.perf_counter()
+        n = k = 0
         for data in dataset:
             model.set_input(data)
             model.optimize_parameters()
@@ -140,23 +125,72 @@ def main():
             k += 1
             if k >= args.steps:
                 break
-    float(np.asarray(model._metrics["loss_G"]))  # force completion
-    e2e_ips = n / (time.perf_counter() - t0)
+        float(np.asarray(model._metrics["loss_G"]))  # force completion
+        return n / (time.perf_counter() - t0)
 
-    # ---- device-only rate (same process, pre-staged tensors)
+    def e2e_chunked():
+        # the --steps_per_dispatch hot loop: k loader batches -> ONE
+        # stacked H2D -> ONE chained dispatch (train.py's chunk path)
+        t0 = time.perf_counter()
+        n = k = 0
+        pending = []
+        for data in dataset:
+            pending.append(data)
+            if len(pending) < args.chunk:
+                continue
+            model.set_input_chunk(pending)
+            model.optimize_parameters_chunk()
+            # ONE stacked (k,) device array, appended whole — a host-side
+            # [j] slice is an eager dispatch (~20 ms each on the relay)
+            lazy.append(model._metrics_seq["ssim"])
+            n += sum(d["A"].shape[0] for d in pending)
+            k += len(pending)
+            pending = []
+            if k >= args.steps:
+                break
+        float(np.asarray(model._metrics["loss_G"]))
+        return n / (time.perf_counter() - t0)
+
     import jax.numpy as jnp
 
-    a = model.real_A
-    b = model.real_B
-    t0 = time.perf_counter()
-    for _ in range(args.steps):
-        model.state, model._metrics, model.fake_B = model._step_fn(
-            model.state, a, b, jnp.float32(model.lr)
-        )
-    float(np.asarray(model._metrics["loss_G"]))
-    dev_ips = args.batch * args.steps / (time.perf_counter() - t0)
+    def device_plain():
+        a, b = model.real_A, model.real_B
+        t0 = time.perf_counter()
+        for _ in range(args.steps):
+            model.state, model._metrics, model.fake_B = model._step_fn(
+                model.state, a, b, jnp.float32(model.lr)
+            )
+        float(np.asarray(model._metrics["loss_G"]))
+        return args.batch * args.steps / (time.perf_counter() - t0)
 
-    print(json.dumps({
+    def device_chunked():
+        ca, cb = model.chunk_A, model.chunk_B
+        nd = max(args.steps // args.chunk, 1)
+        t0 = time.perf_counter()
+        for _ in range(nd):
+            model.state, ms, model.fake_B = model._chained_fn(
+                model.state, ca, cb, jnp.float32(model.lr)
+            )
+        float(np.asarray(ms["last"]["loss_G"]))
+        return args.batch * args.chunk * nd / (time.perf_counter() - t0)
+
+    # every phase in ONE process, interleaved A/B/A/B over --reps rounds:
+    # the relay's completion-event latency drifts between time windows, so
+    # cross-process comparisons are confounded; medians over interleaved
+    # rounds are not.
+    phases = {"e2e_plain": e2e_plain, "device_plain": device_plain}
+    if args.chunk > 1:
+        phases["e2e_chunked"] = e2e_chunked
+        phases["device_chunked"] = device_chunked
+    samples = {k: [] for k in phases}
+    for _ in range(args.reps):
+        for name, fn in phases.items():
+            samples[name].append(fn())
+
+    med = {k: float(np.median(v)) for k, v in samples.items()}
+    e2e_ips = med.get("e2e_chunked", med["e2e_plain"])
+    dev_ips = med["device_plain"]
+    out = {
         "metric": "e2e_train_images_per_sec",
         "value": round(e2e_ips, 2),
         "unit": "img/s",
@@ -165,7 +199,11 @@ def main():
         "e2e_over_device": round(e2e_ips / dev_ips, 4),
         "native_loader": args.native == "1",
         "steps_per_dispatch": args.chunk,
-    }))
+        "reps": args.reps,
+    }
+    for k, v in samples.items():
+        out[k + "_all"] = [round(x, 2) for x in v]
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
