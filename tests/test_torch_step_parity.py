@@ -102,12 +102,13 @@ def _ref_options():
 # our side
 # ---------------------------------------------------------------------------
 
-def _build_ours(g_pth, d_pth, lr):
+def _build_ours(g_pth, d_pth, lr, vgg_npz=None, w_vgg=0.0):
     from dsgan_tpu.models import define_D, define_G
     from dsgan_tpu.models.layers import set_gelu_mode
     from dsgan_tpu.models.pix2pix import (
         Pix2PixConfig, Pix2PixState, make_adam, make_train_step,
     )
+    from dsgan_tpu.models.vgg import Vgg16Features, load_torchvision_npz
     from dsgan_tpu.utils.pth_convert import (
         convert_mixconvnext, convert_nlayer_discriminator,
     )
@@ -121,9 +122,14 @@ def _build_ours(g_pth, d_pth, lr):
     params_D = jax.tree_util.tree_map(
         lambda a: jnp.asarray(a, jnp.float32), convert_nlayer_discriminator(d_pth)
     )
+    vgg = vgg_params = None
+    if vgg_npz is not None:
+        vgg = Vgg16Features(dtype=jnp.float32, num_taps=4)
+        vgg_params = load_torchvision_npz(vgg_npz)
     cfg = Pix2PixConfig(
         gan_mode="vanilla", use_gan=True, use_condition=True, pool_size=0,
-        w_gan=0.01, w_vgg=0.0, w_tv=1.0, w_ss=1.25, use_vgg=False, beta1=0.5,
+        w_gan=0.01, w_vgg=w_vgg, w_tv=1.0, w_ss=1.25,
+        use_vgg=vgg is not None, beta1=0.5,
     )
     adam = make_adam(cfg.beta1)
     state = Pix2PixState(
@@ -132,7 +138,7 @@ def _build_ours(g_pth, d_pth, lr):
         pool_images=jnp.zeros((0,)), pool_count=jnp.zeros((), jnp.int32),
         rng=jax.random.PRNGKey(0), step=jnp.zeros((), jnp.int32),
     )
-    step = jax.jit(make_train_step(g, d, None, None, cfg))
+    step = jax.jit(make_train_step(g, d, vgg, vgg_params, cfg))
     return state, step
 
 

@@ -51,12 +51,76 @@ def synth_pair(rng, n, res):
     return A, B
 
 
+def _make_ref_vgg_cls(sd):
+    """Reference-Vgg16-shaped torch module running the SAME synthetic
+    torchvision-layout state_dict our converter consumes: the five relu
+    taps of vgg16.features (reference DSGAN/models/vgg.py:5-42), weights
+    frozen. Parity does not need *pretrained* weights — only *identical*
+    ones on both sides."""
+    import torch
+    import torch.nn.functional as F
+
+    from dsgan_tpu.models.vgg import VGG16_CONVS
+
+    conv_idx = {idx for _, idx in VGG16_CONVS}
+    pool_at = {4, 9, 16, 23}
+    tap_after = {3, 8, 15, 22, 29}
+
+    class _SynthVgg(torch.nn.Module):
+        def type(self, *a, **k):  # absorbs .type(torch.cuda.FloatTensor)
+            return self
+
+        def forward(self, x):
+            h = x
+            taps = []
+            for i in range(30):
+                if i in conv_idx:
+                    h = F.conv2d(h, sd[f"features.{i}.weight"],
+                                 sd[f"features.{i}.bias"], padding=1)
+                elif i in pool_at:
+                    h = F.max_pool2d(h, 2)
+                else:
+                    h = F.relu(h)
+                if i in tap_after:
+                    taps.append(h)
+            return taps
+
+    return _SynthVgg
+
+
+def _synth_vgg_sd(seed=2024):
+    """Seeded random torchvision-layout vgg16 state_dict (He-scaled so
+    activations stay O(1) through 13 layers — see tests/test_vgg_convert)."""
+    import torch
+
+    from dsgan_tpu.models.vgg import VGG16_CONVS
+
+    rng = np.random.default_rng(seed)
+    sd = {}
+    in_ch = 3
+    for out_ch, idx in VGG16_CONVS:
+        std = (2.0 / (9 * in_ch)) ** 0.5
+        sd[f"features.{idx}.weight"] = torch.tensor(
+            rng.normal(0, std, (out_ch, in_ch, 3, 3)).astype(np.float32)
+        )
+        sd[f"features.{idx}.bias"] = torch.tensor(
+            rng.normal(0, 0.01, (out_ch,)).astype(np.float32)
+        )
+        in_ch = out_ch
+    return sd
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=40)
     ap.add_argument("--res", type=int, default=64)
     ap.add_argument("--batch", type=int, default=2)
     ap.add_argument("--nimg", type=int, default=8)
+    ap.add_argument("--w_vgg", type=float, default=0.0,
+                    help="perceptual-loss weight; >0 runs BOTH sides with an "
+                         "identical seeded random VGG16 (trajectory coverage "
+                         "of the heaviest loss term without pretrained "
+                         "weights; ref pix2pix_model.py:180-186)")
     ap.add_argument("--out", default="docs/parity")
     args = ap.parse_args()
 
@@ -71,25 +135,40 @@ def main():
     )
     from dsgan_tpu import ops
 
+    os.makedirs("/tmp/dsgan_parity", exist_ok=True)
+    vgg_npz = None
+    if args.w_vgg != 0.0:
+        from dsgan_tpu.utils.pth_convert import convert_vgg16
+
+        sd = _synth_vgg_sd()
+        vgg_pth = "/tmp/dsgan_parity/vgg_synth.pth"
+        vgg_npz = "/tmp/dsgan_parity/vgg_synth.npz"
+        torch.save(sd, vgg_pth)
+        convert_vgg16(vgg_pth, vgg_npz)
+        ref_vgg_cls = _make_ref_vgg_cls(sd)
+    else:
+        ref_vgg_cls = _ZeroVgg
+
     ref_pix2pix = _import_reference()
     torch.manual_seed(1234)
     opt = _ref_options()
+    opt.w_vgg = args.w_vgg
     ref = ref_pix2pix.Pix2PixModel()
     orig_vgg = ref_pix2pix.Vgg16
-    ref_pix2pix.Vgg16 = _ZeroVgg
+    ref_pix2pix.Vgg16 = ref_vgg_cls
     try:
         ref.initialize(opt)
     finally:
         ref_pix2pix.Vgg16 = orig_vgg
 
-    os.makedirs("/tmp/dsgan_parity", exist_ok=True)
     g_pth = "/tmp/dsgan_parity/g.pth"
     d_pth = "/tmp/dsgan_parity/d.pth"
     torch.save(ref.netG.state_dict(), g_pth)
     torch.save(ref.netD.state_dict(), d_pth)
 
     lr = 2e-4
-    state, step = _build_ours(g_pth, d_pth, lr)
+    state, step = _build_ours(g_pth, d_pth, lr, vgg_npz=vgg_npz,
+                              w_vgg=args.w_vgg)
 
     rng = np.random.default_rng(7)
     A, B = synth_pair(rng, args.nimg, args.res)
@@ -135,6 +214,8 @@ def main():
             "ours_loss_D": float(np.asarray(metrics["loss_D"])),
             "ref_loss_G_L1": float(ref.loss_G_L1),
             "ours_loss_G_L1": float(np.asarray(metrics["loss_G_L1"])),
+            "ref_loss_vgg": float(ref.loss_vgg),
+            "ours_loss_vgg": float(np.asarray(metrics["loss_vgg"])),
             "ref_ssim": float(ssim_ref_side),
             "ours_ssim": float(ssim_ours),
         }
@@ -146,7 +227,9 @@ def main():
             flush=True,
         )
 
-    path = os.path.join(args.out, "curves.csv")
+    path = os.path.join(
+        args.out, "curves_vgg.csv" if args.w_vgg != 0.0 else "curves.csv"
+    )
     with open(path, "w", newline="") as f:
         w = csv.DictWriter(f, fieldnames=list(rows[0]))
         w.writeheader()
