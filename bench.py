@@ -66,8 +66,12 @@ def main():
     steps = int(os.environ.get("BENCH_STEPS", "20"))
     size = int(os.environ.get("BENCH_SIZE", "256"))
     use_vgg = os.environ.get("BENCH_VGG", "1") == "1"
+    # BENCH_REMAT: 0 (default) | 1 (full block remat) | dots (save matmul
+    # outputs, recompute IN/GELU chains) — the remat-for-bandwidth A/B
+    remat = {"0": False, "1": True}.get(
+        os.environ.get("BENCH_REMAT", "0"), os.environ.get("BENCH_REMAT"))
 
-    g = define_G(3, 3, 32, "MixConvNeXtML", dtype=jnp.bfloat16)
+    g = define_G(3, 3, 32, "MixConvNeXtML", dtype=jnp.bfloat16, remat=remat)
     d = define_D(6, 32, "basic", dtype=jnp.bfloat16)
     kg, kd, kv, ks = jax.random.split(jax.random.PRNGKey(0), 4)
     params_G = init_params(g, kg, (1, size, size, 3), "normal")["params"]

@@ -408,9 +408,12 @@ class MixConvNeXtML(nn.Module):
     """
 
     dtype: Any = jnp.bfloat16
-    remat: bool = False  # rematerialize Blocks: trades ~1 extra forward
-    #                      of each Block for most of the G residual memory
-    #                      (enables larger batches / 512^2-class inputs)
+    remat: Any = False  # rematerialize Blocks: trades ~1 extra forward
+    #                     of each Block for most of the G residual memory
+    #                     (enables larger batches / 512^2-class inputs).
+    #                     False | True (save nothing) | "dots" (save matmul
+    #                     outputs, recompute the IN/GELU/elementwise chains
+    #                     — the bytes-for-flops trade for an HBM-bound step)
     inference: bool = False  # forward-only build: disables the train-only
     #                          fused Pallas block path (see ConvNeXtBlock)
 
@@ -421,7 +424,17 @@ class MixConvNeXtML(nn.Module):
         dt = self.dtype
         import functools as _ft
 
-        _B = nn.remat(ConvNeXtBlock) if self.remat else ConvNeXtBlock
+        if self.remat == "dots":
+            import jax as _jax
+
+            _B = nn.remat(
+                ConvNeXtBlock,
+                policy=_jax.checkpoint_policies.dots_saveable,
+            )
+        elif self.remat:
+            _B = nn.remat(ConvNeXtBlock)
+        else:
+            _B = ConvNeXtBlock
         Block = _ft.partial(_B, inference=self.inference)
 
         # -- global stream encoder + dense cross-scale skips (the downSkip
