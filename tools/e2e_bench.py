@@ -114,10 +114,16 @@ def main():
         model.optimize_parameters_chunk()
         float(np.asarray(model._metrics["loss_G"]))
 
+    def epochs():
+        # honor --steps even when it exceeds one epoch of --pairs
+        while True:
+            for d in dataset:
+                yield d
+
     def e2e_plain():
         t0 = time.perf_counter()
         n = k = 0
-        for data in dataset:
+        for data in epochs():
             model.set_input(data)
             model.optimize_parameters()
             lazy.append(model._metrics["ssim"])  # lazy device scalar, no sync
@@ -134,7 +140,7 @@ def main():
         t0 = time.perf_counter()
         n = k = 0
         pending = []
-        for data in dataset:
+        for data in epochs():
             pending.append(data)
             if len(pending) < args.chunk:
                 continue
