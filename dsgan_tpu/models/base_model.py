@@ -79,6 +79,68 @@ def make_chained_step(step_fn):
     return chained
 
 
+def make_split_chained_step(step_fn, k, n_batch_args=2):
+    """make_chained_step, but fed k SEPARATE per-batch arrays per side and
+    stacked INSIDE the jitted program.
+
+    ``(state, A_0..A_{k-1}, B_0..B_{k-1}, ..., lr) -> same outputs``
+
+    Why not stack on the host: a relay-attached device completes one
+    k-stacked put ~30x slower than k pipelined per-batch puts — measured
+    (tools/chunk_trace.py, v5e via relay, k=8 b16 uint8): a single 2x25 MB
+    stacked put + chained dispatch takes 4.4-5.6 s to complete while the
+    staged chunk executes in 0.93 s and 3 MB puts land in ~4 ms each; the
+    relay fragments large transfers into frames that each pay its
+    completion-event latency (docs/PERF.md "End-to-end CLI gap"). Per-batch
+    puts are the proven-fast size; the in-jit jnp.stack is a device-local
+    copy (~50 MB at k=8, ~60 us of HBM traffic)."""
+    import jax.numpy as jnp
+
+    chained = make_chained_step(step_fn)
+
+    def split(state, *args):
+        flat, lr = args[:-1], args[-1]
+        assert len(flat) == k * n_batch_args, (len(flat), k, n_batch_args)
+        stacked = tuple(
+            jnp.stack(flat[i * k:(i + 1) * k]) for i in range(n_batch_args)
+        )
+        return chained(state, *stacked, lr)
+
+    return split
+
+
+def make_fused_chunk_step(step_fn, k, ncs=(3, 3)):
+    """make_chained_step fed k channel-FUSED batch arrays: each sub-step's
+    batch args concatenated along channels on the host (A|B -> (N,H,W,6))
+    so the chunk ships as k puts instead of k*len(ncs).
+
+    ``(state, AB_0..AB_{k-1}, lr) -> same outputs as make_chained_step``
+
+    Why: on a relay-attached device every fresh put's completion event
+    serializes at ~120 ms once the big program is resident, gating
+    execution (tools/chunk_trace.py: 16 puts -> 2.7-3.1 s wait per chunk
+    around 0.93 s of device work). Halving the put count halves that
+    floor; the in-jit channel split is a device-local slice. ``ncs`` are
+    the channel widths of the step's batch args in order."""
+    import jax.numpy as jnp
+
+    chained = make_chained_step(step_fn)
+    bounds = [0]
+    for c in ncs:
+        bounds.append(bounds[-1] + c)
+
+    def fused(state, *args):
+        fused_batches, lr = args[:-1], args[-1]
+        assert len(fused_batches) == k, (len(fused_batches), k)
+        stacked = jnp.stack(fused_batches)  # (k, N, H, W, sum(ncs))
+        groups = tuple(
+            stacked[..., bounds[i]:bounds[i + 1]] for i in range(len(ncs))
+        )
+        return chained(state, *groups, lr)
+
+    return fused
+
+
 class BaseModel:
     @staticmethod
     def modify_commandline_options(parser, is_train=True):
@@ -142,6 +204,19 @@ class BaseModel:
                                               n_batch_args=n_batch_args,
                                               n_batch_outs=n_batch_outs)
         return jax.jit(chained_fn, donate_argnums=(0,))
+
+    def _jit_split_chained_step(self, split_fn, k, n_batch_args=2,
+                                n_batch_outs=1):
+        """jit a split-input k-chained step (make_split_chained_step):
+        k*n_batch_args separate batch args, each placed/sharded like a
+        plain batch, stacked in-jit."""
+        if self.mesh is not None:
+            from dsgan_tpu.parallel import make_parallel_split_chained_step
+
+            return make_parallel_split_chained_step(
+                split_fn, self.mesh, k, n_batch_args=n_batch_args,
+                n_batch_outs=n_batch_outs)
+        return jax.jit(split_fn, donate_argnums=(0,))
 
     def _jit_infer(self, apply_fn):
         """jit a (params, x) generator forward — batch/H sharded on the mesh."""

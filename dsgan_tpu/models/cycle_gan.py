@@ -323,28 +323,36 @@ class CycleGANModel(BaseModel):
             setattr(self, k, v)
 
     def set_input_chunk(self, inputs):
-        """Stage a k-item chunk as one stacked H2D per side
-        (--steps_per_dispatch; see Pix2PixModel.set_input_chunk)."""
+        """Stage a k-item chunk as k channel-fused per-batch H2D puts
+        (A|B), split+stacked in-jit (--steps_per_dispatch; see
+        Pix2PixModel.set_input_chunk for the relay measurement)."""
         AtoB = self.opt.which_direction == "AtoB"
         ka, kb = ("A", "B") if AtoB else ("B", "A")
-        As = np.stack([np.asarray(d[ka]) for d in inputs])
-        Bs = np.stack([np.asarray(d[kb]) for d in inputs])
-        self.chunk_A = self._place_chunk(As)
-        self.chunk_B = self._place_chunk(Bs)
-        self.real_A, self.real_B = As[-1], Bs[-1]
+        self.chunk_AB = [
+            self._place_batch(np.concatenate(
+                (np.asarray(d[ka]), np.asarray(d[kb])), axis=-1))
+            for d in inputs
+        ]
+        self.real_A = np.asarray(inputs[-1][ka])
+        self.real_B = np.asarray(inputs[-1][kb])
         self.image_paths = inputs[-1].get(ka + "_paths", [])
 
     def optimize_parameters_chunk(self):
         """k fused joint G_A/G_B + D_A/D_B steps in ONE dispatch —
         bit-identical to k sequential steps (tests/test_chained_step.py)."""
-        if self._chained_fn is None:
-            from dsgan_tpu.models.base_model import make_chained_step
+        k = len(self.chunk_AB)
+        if self._chained_fn is None or getattr(self, "_chained_k", None) != k:
+            from dsgan_tpu.models.base_model import make_fused_chunk_step
 
-            self._chained_fn = self._jit_chained_step(
-                make_chained_step(self._raw_step)
+            self._chained_fn = self._jit_split_chained_step(
+                make_fused_chunk_step(
+                    self._raw_step, k,
+                    (self.opt.input_nc, self.opt.output_nc)), k,
+                n_batch_args=1,
             )
+            self._chained_k = k
         self.state, ms, visuals = self._chained_fn(
-            self.state, self.chunk_A, self.chunk_B, jnp.float32(self.lr)
+            self.state, *self.chunk_AB, jnp.float32(self.lr)
         )
         # both views computed in-jit — zero host-side slice dispatches
         self._metrics_seq = ms["seq"]

@@ -427,17 +427,25 @@ class Pix2PixModel(BaseModel):
         self.image_paths = input.get("A_paths" if AtoB else "B_paths", [])
 
     def set_input_chunk(self, inputs):
-        """Stage a k-item chunk (list of loader batches) as ONE stacked
-        (k, B, H, W, C) H2D transfer per side (--steps_per_dispatch)."""
+        """Stage a k-item chunk (list of loader batches) as k channel-
+        fused per-batch H2D puts (A|B -> one (N,H,W,6) put per sub-step),
+        split+stacked INSIDE the jitted program (--steps_per_dispatch).
+        One k-stacked put measured ~30x slower to complete through the
+        relay, and every put pays a ~120 ms serialized completion event
+        once the big program is resident — so minimize puts at the
+        proven-fast (few-MB) size (make_fused_chunk_step;
+        tools/chunk_trace.py)."""
         AtoB = self.opt.which_direction == "AtoB"
         ka, kb = ("A", "B") if AtoB else ("B", "A")
-        As = np.stack([np.asarray(d[ka]) for d in inputs])
-        Bs = np.stack([np.asarray(d[kb]) for d in inputs])
-        self.chunk_A = self._place_chunk(As)
-        self.chunk_B = self._place_chunk(Bs)
+        self.chunk_AB = [
+            self._place_batch(np.concatenate(
+                (np.asarray(d[ka]), np.asarray(d[kb])), axis=-1))
+            for d in inputs
+        ]
         # visuals/anomaly dumps reflect the chunk's LAST sub-batch (host
         # copies — no extra device traffic)
-        self.real_A, self.real_B = As[-1], Bs[-1]
+        self.real_A = np.asarray(inputs[-1][ka])
+        self.real_B = np.asarray(inputs[-1][kb])
         self.image_paths = inputs[-1].get(ka + "_paths", [])
 
     # -- step --------------------------------------------------------------
@@ -451,14 +459,19 @@ class Pix2PixModel(BaseModel):
         Bit-identical to k sequential optimize_parameters calls
         (tests/test_chained_step.py); amortizes the relay's per-sync
         completion-event latency (docs/PERF.md 'End-to-end CLI gap')."""
-        if self._chained_fn is None:
-            from dsgan_tpu.models.base_model import make_chained_step
+        k = len(self.chunk_AB)
+        if self._chained_fn is None or getattr(self, "_chained_k", None) != k:
+            from dsgan_tpu.models.base_model import make_fused_chunk_step
 
-            self._chained_fn = self._jit_chained_step(
-                make_chained_step(self._raw_step)
+            nc_a = self.opt.input_nc
+            nc_b = self.opt.output_nc
+            self._chained_fn = self._jit_split_chained_step(
+                make_fused_chunk_step(self._raw_step, k, (nc_a, nc_b)), k,
+                n_batch_args=1,
             )
+            self._chained_k = k
         self.state, ms, self.fake_B = self._chained_fn(
-            self.state, self.chunk_A, self.chunk_B, jnp.float32(self.lr)
+            self.state, *self.chunk_AB, jnp.float32(self.lr)
         )
         # both views computed in-jit — zero host-side slice dispatches
         self._metrics_seq = ms["seq"]  # (k,)-stacked device arrays per key

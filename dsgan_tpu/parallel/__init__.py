@@ -6,6 +6,7 @@ from dsgan_tpu.parallel.mesh import (
     replicate,
     make_parallel_step,
     make_parallel_chained_step,
+    make_parallel_split_chained_step,
     make_parallel_infer,
     batch_sharding,
     chunk_sharding,
@@ -20,6 +21,7 @@ __all__ = [
     "replicate",
     "make_parallel_step",
     "make_parallel_chained_step",
+    "make_parallel_split_chained_step",
     "make_parallel_infer",
     "batch_sharding",
     "chunk_sharding",

@@ -157,6 +157,24 @@ def make_parallel_chained_step(chained_fn, mesh, donate_state=True,
     )
 
 
+def make_parallel_split_chained_step(split_fn, mesh, k, donate_state=True,
+                                     n_batch_args=2, n_batch_outs=1):
+    """jit a split-input k-chained step ``(state, b_0..b_{k*n-1}, lr)``
+    over the mesh: each batch arg is sharded like a PLAIN batch (N over
+    data, H over spatial) and the in-jit stack adds the unsharded scan
+    axis. Same outputs as make_parallel_chained_step. Exists because one
+    k-stacked H2D put completes far slower than k pipelined per-batch
+    puts on relay-attached devices (see make_split_chained_step)."""
+    repl = NamedSharding(mesh, P())
+    data = batch_sharding(mesh)
+    return jax.jit(
+        split_fn,
+        in_shardings=(repl,) + (data,) * (k * n_batch_args) + (repl,),
+        out_shardings=(repl, repl) + (data,) * n_batch_outs,
+        donate_argnums=(0,) if donate_state else (),
+    )
+
+
 def make_parallel_step(step_fn, mesh, donate_state=True, n_batch_args=2,
                        n_batch_outs=1):
     """jit a fused train step ``(state, batch..., lr)`` over the mesh.

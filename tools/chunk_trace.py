@@ -1,5 +1,8 @@
 """Per-phase timing of the --steps_per_dispatch chunked hot loop.
 
+(Now exercises the split-put path: k per-batch H2D puts, in-jit stack —
+the stacked-put numbers that motivated it are recorded in docs/PERF.md.)
+
 The k-step chaining (docs/PERF.md "End-to-end CLI gap") should pay ONE
 late relay completion event per k steps — yet tools/e2e_bench.py
 measures e2e_chunked BELOW e2e_plain. This probe runs the exact chunk
@@ -89,11 +92,10 @@ def main():
         t1 = time.perf_counter()
         AtoB = opt.which_direction == "AtoB"
         ka, kb = ("A", "B") if AtoB else ("B", "A")
-        As = np.stack([np.asarray(d[ka]) for d in pending])
-        Bs = np.stack([np.asarray(d[kb]) for d in pending])
+        ABs = [np.concatenate((np.asarray(d[ka]), np.asarray(d[kb])), axis=-1)
+               for d in pending]
         t2 = time.perf_counter()
-        model.chunk_A = model._place_chunk(As)
-        model.chunk_B = model._place_chunk(Bs)
+        model.chunk_AB = [model._place_batch(ab) for ab in ABs]
         t3 = time.perf_counter()
         model.optimize_parameters_chunk()
         lazy.append(model._metrics_seq["ssim"])
@@ -121,16 +123,14 @@ def main():
     host_chunks = []
     for _ in range(args.chunks):
         pending = [next(it) for _ in range(args.chunk)]
-        host_chunks.append((
-            np.stack([np.asarray(d[ka]) for d in pending]),
-            np.stack([np.asarray(d[kb]) for d in pending]),
-        ))
+        host_chunks.append(
+            [np.concatenate((np.asarray(d[ka]), np.asarray(d[kb])), axis=-1)
+             for d in pending])
     time.sleep(1.0)  # let prefetch threads block on the full queue
     for tag in ("precollected", "precollected2"):
         t0 = time.perf_counter()
-        for As, Bs in host_chunks:
-            model.chunk_A = model._place_chunk(As)
-            model.chunk_B = model._place_chunk(Bs)
+        for ABs in host_chunks:
+            model.chunk_AB = [model._place_batch(ab) for ab in ABs]
             model.optimize_parameters_chunk()
             lazy.append(model._metrics_seq["ssim"])
         float(np.asarray(model._metrics["loss_G"]))
@@ -139,10 +139,9 @@ def main():
 
     # ---- phase 3: per-chunk SYNC latency with idle loader (where does a
     # single fresh-put chunk's completion land?)
-    for As, Bs in host_chunks[:4]:
+    for ABs in host_chunks[:4]:
         t0 = time.perf_counter()
-        model.chunk_A = model._place_chunk(As)
-        model.chunk_B = model._place_chunk(Bs)
+        model.chunk_AB = [model._place_batch(ab) for ab in ABs]
         t1 = time.perf_counter()
         model.optimize_parameters_chunk()
         t2 = time.perf_counter()
@@ -152,12 +151,12 @@ def main():
               f"wait {1e3*(t3-t2):7.1f}  total {1e3*(t3-t0):7.1f} ms", flush=True)
 
     # ---- phase 4: staged (device-resident) chunks — the device ceiling
-    ca, cb = model.chunk_A, model.chunk_B
+    cab = list(model.chunk_AB)
     t0 = time.perf_counter()
     for _ in range(args.chunks):
         import jax.numpy as jnp
         model.state, ms, model.fake_B = model._chained_fn(
-            model.state, ca, cb, jnp.float32(model.lr))
+            model.state, *cab, jnp.float32(model.lr))
     float(np.asarray(ms["last"]["loss_G"]))
     dt = time.perf_counter() - t0
     print(f"staged: wall {dt:.2f} s; {n_img/dt:.1f} img/s", flush=True)

@@ -170,12 +170,12 @@ def main():
         return args.batch * args.steps / (time.perf_counter() - t0)
 
     def device_chunked():
-        ca, cb = model.chunk_A, model.chunk_B
+        cab = list(model.chunk_AB)
         nd = max(args.steps // args.chunk, 1)
         t0 = time.perf_counter()
         for _ in range(nd):
             model.state, ms, model.fake_B = model._chained_fn(
-                model.state, ca, cb, jnp.float32(model.lr)
+                model.state, *cab, jnp.float32(model.lr)
             )
         float(np.asarray(ms["last"]["loss_G"]))
         return args.batch * args.chunk * nd / (time.perf_counter() - t0)
