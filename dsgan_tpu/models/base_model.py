@@ -79,36 +79,6 @@ def make_chained_step(step_fn):
     return chained
 
 
-def make_split_chained_step(step_fn, k, n_batch_args=2):
-    """make_chained_step, but fed k SEPARATE per-batch arrays per side and
-    stacked INSIDE the jitted program.
-
-    ``(state, A_0..A_{k-1}, B_0..B_{k-1}, ..., lr) -> same outputs``
-
-    Why not stack on the host: a relay-attached device completes one
-    k-stacked put ~30x slower than k pipelined per-batch puts — measured
-    (tools/chunk_trace.py, v5e via relay, k=8 b16 uint8): a single 2x25 MB
-    stacked put + chained dispatch takes 4.4-5.6 s to complete while the
-    staged chunk executes in 0.93 s and 3 MB puts land in ~4 ms each; the
-    relay fragments large transfers into frames that each pay its
-    completion-event latency (docs/PERF.md "End-to-end CLI gap"). Per-batch
-    puts are the proven-fast size; the in-jit jnp.stack is a device-local
-    copy (~50 MB at k=8, ~60 us of HBM traffic)."""
-    import jax.numpy as jnp
-
-    chained = make_chained_step(step_fn)
-
-    def split(state, *args):
-        flat, lr = args[:-1], args[-1]
-        assert len(flat) == k * n_batch_args, (len(flat), k, n_batch_args)
-        stacked = tuple(
-            jnp.stack(flat[i * k:(i + 1) * k]) for i in range(n_batch_args)
-        )
-        return chained(state, *stacked, lr)
-
-    return split
-
-
 def make_fused_chunk_step(step_fn, k, ncs=(3, 3)):
     """make_chained_step fed k channel-FUSED batch arrays: each sub-step's
     batch args concatenated along channels on the host (A|B -> (N,H,W,6))
@@ -207,7 +177,7 @@ class BaseModel:
 
     def _jit_split_chained_step(self, split_fn, k, n_batch_args=2,
                                 n_batch_outs=1):
-        """jit a split-input k-chained step (make_split_chained_step):
+        """jit a split-input k-chained step (make_fused_chunk_step):
         k*n_batch_args separate batch args, each placed/sharded like a
         plain batch, stacked in-jit."""
         if self.mesh is not None:

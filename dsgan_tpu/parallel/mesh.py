@@ -164,7 +164,8 @@ def make_parallel_split_chained_step(split_fn, mesh, k, donate_state=True,
     data, H over spatial) and the in-jit stack adds the unsharded scan
     axis. Same outputs as make_parallel_chained_step. Exists because one
     k-stacked H2D put completes far slower than k pipelined per-batch
-    puts on relay-attached devices (see make_split_chained_step)."""
+    puts on relay-attached devices (measured record:
+    tools/relay_experiments.py; shipped variant: make_fused_chunk_step)."""
     repl = NamedSharding(mesh, P())
     data = batch_sharding(mesh)
     return jax.jit(

@@ -67,6 +67,8 @@ def main():
     ap.add_argument("--step_ms", type=float, default=0.0,
                     help="single-chip step time for the scaling projection "
                          "(0 = skip; use BENCH_r* device number)")
+    ap.add_argument("--meshes", default="8x1,4x2,2x4",
+                    help="comma list of dataxspatial mesh shapes")
     ap.add_argument("--json", action="store_true")
     args = ap.parse_args()
 
@@ -89,7 +91,9 @@ def main():
 
     grad_bytes = n_params * 4  # f32 grads, each param reduced once per axis
     results = []
-    for data, spatial in ((8, 1), (4, 2), (2, 4)):
+    meshes = [tuple(int(x) for x in m.split("x"))
+              for m in args.meshes.split(",")]
+    for data, spatial in meshes:
         mesh = get_mesh(data, spatial)
         stats, cost = audit_train_step(step_fn, mesh, state, A, B, lr)
         total = sum(s["bytes"] for s in stats.values())
