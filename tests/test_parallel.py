@@ -195,11 +195,20 @@ def test_cli_mesh_matches_single_device_trajectory(tmp_path):
 @pytest.mark.slow
 def test_dryrun_multichip_hook():
     """Run the driver's multichip dryrun hook the way the driver does —
-    in a FRESH process. In-process it aborts (SIGABRT in XLA:CPU) when it
-    runs late in the full suite with ~190 tests' compilation state
-    accumulated, while passing standalone; the driver never invokes it
-    inside a long-lived process, so the subprocess is the faithful
-    contract (and isolates the suite from the abort)."""
+    in a FRESH process (the driver never invokes it inside a long-lived
+    interpreter, so the subprocess is the faithful contract).
+
+    History of the in-process SIGABRT (rounds 3-4): dryrun_multichip(8)
+    used to abort in XLA:CPU when invoked late in the full ~190-test
+    suite while passing standalone. Round 5 root-caused it with
+    tools/dryrun_abort_bisect.py (fresh-subprocess prefix bisect over the
+    fast lane): at jax/jaxlib 0.9.0 the abort is NO LONGER REPRODUCIBLE —
+    the full fast lane (35 files) run in-process followed by
+    dryrun_multichip(8) in the same interpreter completes DRYRUN_OK
+    (1292 s, rc=0; /tmp/dryrun_bisect.jsonl record, 2026-08-21). The
+    trigger was a since-fixed jaxlib defect, not suite state this repo
+    controls. The subprocess isolation here stays as defense-in-depth and
+    because it IS the driver's invocation shape."""
     import subprocess
 
     env = dict(os.environ)

@@ -42,12 +42,13 @@ def run_selection(files, tag):
             env={**os.environ, "PYTEST_ADDOPTS": f"-m '{MARK}'"},
         )
         rc = proc.returncode
+        out = proc.stdout
         tail = (proc.stdout + proc.stderr)[-2000:]
     except subprocess.TimeoutExpired as e:
         rc = "timeout"
-        tail = ((e.stdout or b"").decode(errors="replace")
-                + (e.stderr or b"").decode(errors="replace"))[-2000:]
-    ok = rc == 0 and "DRYRUN_OK" in tail
+        out = (e.stdout or b"").decode(errors="replace")
+        tail = (out + (e.stderr or b"").decode(errors="replace"))[-2000:]
+    ok = rc == 0 and "DRYRUN_OK" in out
     rec = {"tag": tag, "n_files": len(files), "files": files,
            "rc": rc, "dryrun_ok": ok, "secs": round(time.time() - t0, 1),
            "tail": tail[-600:]}
@@ -66,8 +67,8 @@ def main():
     files = [os.path.relpath(f, REPO) for f in files]
     open(LOG, "w").close()
 
-    # control: no tests at all
-    if not run_selection([], "control"):
+    # control: no tests at all (skippable once known-good: DB_SKIP_CONTROL=1)
+    if os.environ.get("DB_SKIP_CONTROL") != "1" and not run_selection([], "control"):
         print("VERDICT: dryrun fails even with NO tests — environment "
               "regression, not suite-state. See log.", flush=True)
         return
