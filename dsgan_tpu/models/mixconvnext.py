@@ -223,7 +223,21 @@ class UpBlock(nn.Module):
         h = gelu(ops.instance_norm(h))
         if self.split:
             return h, skip
-        return jnp.concatenate([h, skip], axis=-1)
+        out = jnp.concatenate([h, skip], axis=-1)
+        if _upblock_barrier_enabled():
+            # Materialize the concat (identical values — barrier only blocks
+            # fusion): without this, XLA fuses the concat (a pad+maximum
+            # kLoop) INTO every consuming depthwise-conv thunk of the
+            # MidMLKA bank that follows (fwd, dW), knocking them off the
+            # fast emitters — the round-5 thunk audit measured upc3 fwd
+            # 6.37 ms / dW 6.81 ms in-step at ~20 GB/s, ~1 TF/s vs
+            # 1.14 / 2.17 ms isolated with materialized inputs
+            # (docs/PERF.md "Per-thunk in-step audit"). Same pathology and
+            # same cure as the bank-kernel barrier in MidMLKA.
+            import jax as _jax
+
+            out = _jax.lax.optimization_barrier(out)
+        return out
 
 
 class DownProject(nn.Module):
@@ -249,6 +263,12 @@ def _pool_cascade_enabled():
     import os
 
     return os.environ.get("DSGAN_POOL_CASCADE", "1") == "1"
+
+
+def _upblock_barrier_enabled():
+    import os
+
+    return os.environ.get("DSGAN_UPBLOCK_BARRIER", "1") == "1"
 
 
 def _pool_pyramid(x, max_scale):

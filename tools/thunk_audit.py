@@ -142,8 +142,10 @@ def parse_hlo(text):
             fl = instr_flops(st, out_shape)
         heavy = (callee and comp_has_heavy.get(callee)) or opkind in (
             "convolution", "dot", "custom-call")
+        mo = re.search(r'op_name="([^"]*)"', st)
         thunks[name] = {"bytes": b, "flops": fl, "kind": opkind,
-                        "heavy": bool(heavy)}
+                        "heavy": bool(heavy),
+                        "op_name": mo.group(1) if mo else ""}
     return thunks
 
 
@@ -280,9 +282,16 @@ def main():
         else:
             v = "LEAD"
             leads.append((ms, nm, gbs, tfs))
-        # label with the dominant module scope for readability
-        scope = ""
-        if nm in instr_calls and instr_calls[nm] in comp_ops:
+        # label with the thunk's OWN HLO metadata op_name (authoritative —
+        # the dominant-scope join below mislabeled fusion.2403 as "fwd
+        # up3" when its entry metadata says transpose(...)upc3 dW);
+        # fall back to the dominant module scope of the fused computation
+        scope = info.get("op_name", "")
+        if scope:
+            scope = scope.replace("jit(step)/", "").replace(
+                "jvp(MixConvNeXtML)", "jvp").replace(
+                "transpose(jvp)", "BWD")
+        elif nm in instr_calls and instr_calls[nm] in comp_ops:
             cnt = defaultdict(int)
             for o in comp_ops[instr_calls[nm]]:
                 cnt[scope_of(o, 3)] += 1
